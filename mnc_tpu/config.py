@@ -1,0 +1,260 @@
+"""Global configuration tree.
+
+Behavioral port of the reference config system (``lib/mnc_config.py`` in
+daijifeng001/MNC): a singleton ``cfg`` tree with ``TRAIN``/``TEST`` sub-trees,
+recursive YAML merge (``cfg_from_file``), ``--set KEY VALUE`` overrides
+(``cfg_from_list``) and ``get_output_dir``.  The reference key names
+(``TRAIN.RPN_NMS_THRESH`` etc.) are preserved so its experiment YAMLs translate
+1:1.
+
+TPU-native additions live under ``cfg.STATIC``: every shape that the reference
+computed dynamically on the host (image size, proposal counts, RoI batch) is a
+fixed compile-time dimension here, because everything under ``jax.jit`` must be
+static-shaped.  Dynamic behavior is recovered with validity masks.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import os.path as osp
+from typing import Any
+
+import numpy as np
+import yaml
+
+
+class AttrDict(dict):
+    """Dict with attribute access — stand-in for the reference's easydict."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def clone(self) -> "AttrDict":
+        return copy.deepcopy(self)
+
+
+def _tree(**kw: Any) -> AttrDict:
+    d = AttrDict()
+    for k, v in kw.items():
+        d[k] = v
+    return d
+
+
+# --------------------------------------------------------------------------- #
+# Defaults.  Values follow the reference defaults (lib/mnc_config.py) where
+# known; ⚠-uncertain ones from SURVEY.md §2.1 are noted inline.
+# --------------------------------------------------------------------------- #
+
+__C = _tree()
+cfg = __C
+
+# ---- global ----
+__C.RNG_SEED = 3
+__C.EPS = 1e-14
+__C.PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]])  # BGR order
+__C.ROOT_DIR = osp.abspath(osp.join(osp.dirname(__file__), ".."))
+__C.DATA_DIR = osp.join(__C.ROOT_DIR, "data")
+__C.EXP_DIR = "default"
+__C.USE_GPU_NMS = True  # kept for YAML compat; on TPU, NMS is always on-device
+__C.GPU_ID = 0
+# Mask resolution of the mask regression target/output.  The reference code used
+# 21 while the paper quotes 28 (SURVEY.md §2.1 "MASK_SIZE — verify").
+__C.MASK_SIZE = 21
+# Binarization threshold applied when pasting soft masks back into the image.
+__C.BINARIZE_THRESH = 0.4
+
+# ---- TPU-native static-shape configuration (new; no reference equivalent) ----
+__C.STATIC = _tree()
+# Fixed image canvas (H, W).  Images are aspect-preserving resized with the
+# reference rule (shorter side -> SCALES[0], longer side capped at MAX_SIZE)
+# and additionally capped to fit this canvas, then zero-padded to it.  Must be
+# divisible by FEAT_STRIDE.  (640, 1024) covers landscape VOC at the reference
+# scale; portrait images get slightly more downscale than the reference.
+__C.STATIC.CANVAS = (640, 1024)
+# Anchors are laid over the stride-16 feature grid of the canvas.
+__C.STATIC.FEAT_STRIDE = 16
+# Static #proposals kept after top-k pre-NMS / after NMS (train, test).
+# Reference: 12000/2000 train, 6000/300 test.  On TPU the pre-NMS top-k is the
+# O(K^2) NMS working set, so we default lower with no measurable mAP impact at
+# canvas scale (23040 total anchors).
+__C.STATIC.TRAIN_PRE_NMS_TOP_N = 2048
+__C.STATIC.TRAIN_POST_NMS_TOP_N = 512
+__C.STATIC.TEST_PRE_NMS_TOP_N = 1024
+__C.STATIC.TEST_POST_NMS_TOP_N = 304  # padded 300 (multiple of 8 sublanes)
+# Per-image RoI training batch (fg+bg), fixed shape.
+__C.STATIC.ROI_BATCH = 128
+# Max ground-truth instances per image (padded).
+__C.STATIC.MAX_GT = 32
+
+# ---- network ----
+__C.NET = _tree()
+__C.NET.TRUNK = "vgg16"  # or "resnet101"
+__C.NET.NUM_CLASSES = 21  # VOC: 20 + background
+__C.NET.ANCHOR_SCALES = (8, 16, 32)
+__C.NET.ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+__C.NET.WARP_HW = 14  # RoI-warp output resolution (roi_warping_layer pooled_h/w)
+__C.NET.POOLED_HW = 7  # after 2x2 max pool, input to fc6
+__C.NET.FC_DIM = 4096
+__C.NET.MASK_FC_DIM = 256
+__C.NET.N_STAGES = 5  # 3 or 5
+__C.NET.SPATIAL_SCALE = 1.0 / 16.0
+# Compute dtype for conv trunk / heads ("bfloat16" rides the MXU at 2x).
+__C.NET.COMPUTE_DTYPE = "bfloat16"
+# Dual-pathway classification head (mask-pooled + box features concatenated).
+__C.NET.DUAL_PATHWAY = False
+
+# ---- training ----
+__C.TRAIN = _tree()
+__C.TRAIN.SCALES = (600,)
+__C.TRAIN.MAX_SIZE = 1000
+__C.TRAIN.IMS_PER_BATCH = 1
+__C.TRAIN.BATCH_SIZE = 128  # RoIs per image  ⚠ reference may use 64
+__C.TRAIN.FG_FRACTION = 0.25
+__C.TRAIN.FG_THRESH = 0.5
+__C.TRAIN.BG_THRESH_HI = 0.5
+__C.TRAIN.BG_THRESH_LO = 0.0
+__C.TRAIN.USE_FLIPPED = True
+__C.TRAIN.BBOX_REG = True
+__C.TRAIN.BBOX_THRESH = 0.5
+__C.TRAIN.BBOX_NORMALIZE_TARGETS = True
+__C.TRAIN.BBOX_NORMALIZE_MEANS = (0.0, 0.0, 0.0, 0.0)
+__C.TRAIN.BBOX_NORMALIZE_STDS = (0.1, 0.1, 0.2, 0.2)
+__C.TRAIN.BBOX_INSIDE_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+__C.TRAIN.RPN_POSITIVE_OVERLAP = 0.7
+__C.TRAIN.RPN_NEGATIVE_OVERLAP = 0.3
+__C.TRAIN.RPN_CLOBBER_POSITIVES = False
+__C.TRAIN.RPN_FG_FRACTION = 0.5
+__C.TRAIN.RPN_BATCHSIZE = 256
+__C.TRAIN.RPN_NMS_THRESH = 0.7
+__C.TRAIN.RPN_PRE_NMS_TOP_N = 12000   # reference value; STATIC caps what runs
+__C.TRAIN.RPN_POST_NMS_TOP_N = 2000   # reference value; STATIC caps what runs
+__C.TRAIN.RPN_MIN_SIZE = 16
+__C.TRAIN.RPN_BBOX_INSIDE_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+__C.TRAIN.RPN_POSITIVE_WEIGHT = -1.0
+__C.TRAIN.SNAPSHOT_ITERS = 5000
+__C.TRAIN.SNAPSHOT_PREFIX = "mnc"
+__C.TRAIN.SNAPSHOT_INFIX = ""
+# Solver (reference models/VGG16/mnc_5stage/solver.prototxt)
+__C.TRAIN.LEARNING_RATE = 0.001
+__C.TRAIN.MOMENTUM = 0.9
+__C.TRAIN.WEIGHT_DECAY = 0.0005
+__C.TRAIN.GAMMA = 0.1
+__C.TRAIN.STEPSIZE = 20000
+__C.TRAIN.MAX_ITERS = 25000
+__C.TRAIN.ITER_SIZE = 1  # gradient accumulation (solver iter_size)
+__C.TRAIN.MIX_INDEX = True  # ⚠ reference flag for 5-stage roi mixing
+
+# ---- testing ----
+__C.TEST = _tree()
+__C.TEST.SCALES = (600,)
+__C.TEST.MAX_SIZE = 1000
+__C.TEST.NMS = 0.3
+__C.TEST.RPN_NMS_THRESH = 0.7
+__C.TEST.RPN_PRE_NMS_TOP_N = 6000   # reference value; STATIC caps what runs
+__C.TEST.RPN_POST_NMS_TOP_N = 300   # reference value; STATIC caps what runs
+__C.TEST.RPN_MIN_SIZE = 16
+__C.TEST.BBOX_REG = True
+__C.TEST.USE_MASK_MERGE = True
+__C.TEST.USE_GPU_MASK_MERGE = True  # compat; mask voting is on-device on TPU
+__C.TEST.MASK_MERGE_IOU_THRESH = 0.5
+__C.TEST.MASK_MERGE_NMS_THRESH = 0.3
+__C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
+__C.TEST.MAX_PER_IMAGE = 100
+
+
+# --------------------------------------------------------------------------- #
+# YAML merge machinery (behavioral port of cfg_from_file / cfg_from_list).
+# --------------------------------------------------------------------------- #
+
+
+def _merge_a_into_b(a: dict, b: AttrDict, path: str = "") -> None:
+    if not isinstance(a, dict):
+        raise TypeError(f"config merge source at {path or '<root>'} must be a dict")
+    for k, v in a.items():
+        if k not in b:
+            raise KeyError(f"{path}{k} is not a valid config key")
+        old = b[k]
+        if isinstance(old, AttrDict):
+            _merge_a_into_b(v, old, path=f"{path}{k}.")
+            continue
+        b[k] = _coerce(v, old, f"{path}{k}")
+
+
+def _coerce(v: Any, old: Any, key: str) -> Any:
+    if old is None or v is None:
+        return v
+    if isinstance(old, np.ndarray):
+        return np.array(v, dtype=old.dtype)
+    if isinstance(old, tuple):
+        return tuple(v)
+    if isinstance(old, bool):
+        if isinstance(v, (bool, int)):
+            return bool(v)
+        raise ValueError(f"cannot coerce {v!r} to bool for {key}")
+    if isinstance(old, float) and isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(old, int) and isinstance(v, int):
+        return v
+    if type(old) is type(v):
+        return v
+    raise ValueError(f"type mismatch for {key}: {type(old).__name__} vs {type(v).__name__}")
+
+
+def cfg_from_file(filename: str) -> None:
+    """Load a YAML config file and merge it into the global cfg."""
+    with open(filename) as f:
+        yaml_cfg = yaml.safe_load(f)
+    if yaml_cfg:
+        _merge_a_into_b(yaml_cfg, __C)
+
+
+def cfg_from_list(cfg_list: list) -> None:
+    """Set config keys from a flat ['KEY', value, ...] list (--set flag)."""
+    assert len(cfg_list) % 2 == 0, "--set takes KEY VALUE pairs"
+    for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+        keys = full_key.split(".")
+        d = __C
+        for k in keys[:-1]:
+            d = d[k]
+        if isinstance(v, str):
+            try:
+                v = yaml.safe_load(v)
+            except yaml.YAMLError:
+                pass
+        d[keys[-1]] = _coerce(v, d[keys[-1]], full_key)
+
+
+def get_output_dir(imdb_name: str, net_name: str | None = None) -> str:
+    """Output directory: <ROOT>/output/<EXP_DIR>/<imdb>[/<net>]."""
+    path = osp.join(__C.ROOT_DIR, "output", __C.EXP_DIR, imdb_name)
+    if net_name is not None:
+        path = osp.join(path, net_name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# ---- derived helpers ----
+
+
+def canvas_hw() -> tuple[int, int]:
+    h, w = __C.STATIC.CANVAS
+    s = __C.STATIC.FEAT_STRIDE
+    assert h % s == 0 and w % s == 0, "CANVAS must be divisible by FEAT_STRIDE"
+    return int(h), int(w)
+
+
+def feat_hw() -> tuple[int, int]:
+    h, w = canvas_hw()
+    s = __C.STATIC.FEAT_STRIDE
+    return h // s, w // s
+
+
+def num_anchors() -> int:
+    return len(__C.NET.ANCHOR_SCALES) * len(__C.NET.ANCHOR_RATIOS)

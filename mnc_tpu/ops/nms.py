@@ -1,0 +1,110 @@
+"""On-device fixed-shape NMS.
+
+TPU-native replacement for the reference's NMS stack (``lib/nms/cpu_nms.pyx``,
+``lib/nms/gpu_nms.pyx`` + ``nms_kernel.cu``, dispatched by
+``lib/nms/nms_wrapper.py``): same greedy-NMS selections, but computed entirely
+on-device over a padded top-K working set, inside jit — eliminating the
+GPU→host→GPU round-trip the reference paid inside every forward pass
+(SURVEY.md §3.1).
+
+Algorithm — exact greedy NMS as a fixpoint iteration
+----------------------------------------------------
+Let boxes be sorted by descending score and ``S[i, j] = (IoU > thresh) & (i < j)``
+("i suppresses j").  Greedy NMS is the unique solution of
+
+    keep[j] = not any_i ( keep[i] & S[i, j] )          (*)
+
+(unique by induction over j).  Define F(keep)[j] as the RHS of (*).  F is
+antitone, and iterating it from all-True converges to the greedy solution:
+after d iterations every box whose suppression-chain depth is <= d has its
+final value (box 0 is kept at once; a depth-d box's deciders are stable after
+d-1 iterations).  Chain depth is bounded by K but in practice tiny (< 10), so a
+``lax.while_loop`` with a convergence test runs a handful of fully-vectorized
+(K, K) steps instead of the K sequential steps of the classic scan — this is
+the map from the reference's inherently-sequential CUDA kernel to a
+latency-friendly XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mnc_tpu.ops.bbox import bbox_overlaps
+
+
+def _suppression_matrix(boxes: jnp.ndarray, valid: jnp.ndarray, thresh) -> jnp.ndarray:
+    """S[i, j] = True iff box i (higher score, valid) suppresses box j."""
+    k = boxes.shape[0]
+    iou = bbox_overlaps(boxes, boxes)
+    upper = jnp.triu(jnp.ones((k, k), dtype=bool), k=1)  # i < j
+    return (iou > thresh) & upper & valid[:, None]
+
+
+def nms_fixed(boxes: jnp.ndarray, valid: jnp.ndarray, thresh) -> jnp.ndarray:
+    """Greedy NMS over score-sorted boxes.
+
+    Args:
+      boxes: (K, 4), already sorted by descending score (ties broken by index).
+      valid: (K,) bool — padding mask; invalid boxes neither keep nor suppress.
+      thresh: IoU threshold.
+
+    Returns:
+      (K,) bool keep mask (False wherever ``valid`` is False).  Identical
+      selections to the reference ``cpu_nms``/``gpu_nms``.
+    """
+    k = boxes.shape[0]
+    s = _suppression_matrix(boxes, valid, thresh)
+    s_f = s.astype(jnp.float32)
+
+    def cond(state):
+        it, keep, changed = state
+        return changed & (it < k)
+
+    def body(state):
+        it, keep, _ = state
+        # keep_new[j] = not any_i keep[i] & S[i,j]  — one (K,K)x(K,) reduce.
+        suppressed = (keep.astype(jnp.float32) @ s_f) > 0.0
+        keep_new = valid & ~suppressed
+        return it + 1, keep_new, jnp.any(keep_new != keep)
+
+    _, keep, _ = jax.lax.while_loop(cond, body, (0, valid, jnp.array(True)))
+    return keep
+
+
+def nms_indices(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh,
+    top_n: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort by score, run NMS, return the top ``top_n`` kept indices.
+
+    Args:
+      boxes: (K, 4) in any order.
+      scores: (K,).
+      valid: (K,) bool.
+      thresh: IoU threshold.
+      top_n: static output count (padded with the last valid index).
+
+    Returns:
+      (idx, keep_valid): idx (top_n,) int32 indices into the ORIGINAL arrays in
+      descending-score order; keep_valid (top_n,) bool marks real entries.
+    """
+    neg_inf = jnp.finfo(scores.dtype).min
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked_scores)
+    sorted_boxes = boxes[order]
+    sorted_valid = valid[order]
+    keep = nms_fixed(sorted_boxes, sorted_valid, thresh)
+
+    # Top-n kept, in score order: score kept entries by their (negated) rank.
+    rank = jnp.arange(keep.shape[0], dtype=jnp.int32)
+    sel_score = jnp.where(keep, -rank, jnp.iinfo(jnp.int32).min)
+    top_score, top_pos = jax.lax.top_k(sel_score, top_n)
+    keep_valid = top_score != jnp.iinfo(jnp.int32).min
+    idx = order[top_pos]
+    # Padding entries point at the first box (always in-range).
+    idx = jnp.where(keep_valid, idx, idx[0])
+    return idx.astype(jnp.int32), keep_valid
