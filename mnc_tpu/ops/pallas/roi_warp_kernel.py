@@ -28,10 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _warp_kernel(rois_ref, feat_ref, out_ref, *, out_hw, spatial_scale, h, w, c):
     ph, pw = out_hw
-    x1 = rois_ref[0, 0]
-    y1 = rois_ref[0, 1]
-    x2 = rois_ref[0, 2]
-    y2 = rois_ref[0, 3]
+    i = pl.program_id(0)
+    x1 = rois_ref[i, 0]
+    y1 = rois_ref[i, 1]
+    x2 = rois_ref[i, 2]
+    y2 = rois_ref[i, 3]
 
     span_y = (y2 - y1 + 1.0) * spatial_scale
     span_x = (x2 - x1 + 1.0) * spatial_scale
@@ -67,7 +68,7 @@ def _roi_warp_pallas_fwd_impl(features, rois, out_hw, spatial_scale):
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rois (N, 4): scalar reads
             pl.BlockSpec((h, w, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

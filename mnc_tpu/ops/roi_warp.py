@@ -118,6 +118,7 @@ def roi_warp_ref(features, rois, out_hw=(14, 14), spatial_scale=1.0 / 16.0):
     Mirrors the reference CUDA kernel structure: per sample point, gather the
     4 neighbors and blend; zero contribution outside the map.
     """
+    features = jnp.asarray(features)
     h, w, _ = features.shape
     ph, pw = out_hw
     yc = bin_centers(rois, ph, spatial_scale, axis=0)  # (N, PH)

@@ -7,13 +7,22 @@ tests run on CPU in float32.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (real TPU), so env edits here are too late for jax's
+# import-time latch — use jax.config before any backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 
 
 @pytest.fixture
