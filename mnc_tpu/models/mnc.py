@@ -1,0 +1,315 @@
+"""The Multi-task Network Cascade, assembled as one XLA program.
+
+This module replaces three things from the reference at once:
+
+1. the declarative prototxt graphs (``models/VGG16/mnc_{3,5}stage/*.prototxt``),
+2. the in-graph Python layers that broke device residency
+   (``lib/pylayer/proposal_layer.py`` → :func:`propose_rois`;
+   ``lib/pylayer/stage_bridge_layer.py`` → :func:`stage_bridge`),
+3. the per-image forward of ``lib/caffeWrapper/TesterWrapper.py`` /
+   ``tools/demo.py`` (``im_detect``) → :meth:`MNC.__call__`.
+
+Everything is fixed-shape: proposals are a padded top-K with a validity mask,
+so the whole 3-/5-stage cascade — trunk → RPN → NMS → RoI warp → mask →
+mask-pool → classify → bridge → second pass — jits into a single XLA
+executable with zero host round-trips (the north-star requirement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mnc_tpu import config as C
+from mnc_tpu.ops.anchors import shifted_anchors
+from mnc_tpu.ops.bbox import bbox_transform_inv, clip_boxes
+from mnc_tpu.ops.nms import nms_indices
+from mnc_tpu.ops.roi_warp import roi_warp
+from mnc_tpu.models.heads import ClassifyHead, MaskHead, RPNHead
+from mnc_tpu.models.vgg import VGG16Trunk
+from mnc_tpu.models.resnet import ResNetTrunk
+
+
+@dataclasses.dataclass(frozen=True)
+class MNCArch:
+    """Static architecture/shape configuration (compile-time constants)."""
+
+    canvas: tuple[int, int] = (640, 1024)
+    feat_stride: int = 16
+    anchor_scales: tuple = (8, 16, 32)
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    num_classes: int = 21
+    mask_size: int = 21
+    warp_hw: int = 14
+    n_stages: int = 5
+    trunk: str = "vgg16"
+    compute_dtype: Any = jnp.bfloat16
+    fc_dim: int = 4096
+    mask_fc_dim: int = 256
+    dual_pathway: bool = False
+    # proposal shapes
+    pre_nms_top_n: int = 1024
+    post_nms_top_n: int = 304
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 16.0
+    # bbox target normalization constants (folded out at inference/export)
+    bbox_means: tuple = (0.0, 0.0, 0.0, 0.0)
+    bbox_stds: tuple = (0.1, 0.1, 0.2, 0.2)
+    roi_warp_impl: str = "einsum"
+
+    @classmethod
+    def from_cfg(cls, train: bool = False, **overrides) -> "MNCArch":
+        cfg = C.cfg
+        kw = dict(
+            canvas=tuple(cfg.STATIC.CANVAS),
+            feat_stride=cfg.STATIC.FEAT_STRIDE,
+            anchor_scales=tuple(cfg.NET.ANCHOR_SCALES),
+            anchor_ratios=tuple(cfg.NET.ANCHOR_RATIOS),
+            num_classes=cfg.NET.NUM_CLASSES,
+            mask_size=cfg.MASK_SIZE,
+            warp_hw=cfg.NET.WARP_HW,
+            n_stages=cfg.NET.N_STAGES,
+            trunk=cfg.NET.TRUNK,
+            compute_dtype=jnp.dtype(cfg.NET.COMPUTE_DTYPE),
+            fc_dim=cfg.NET.FC_DIM,
+            mask_fc_dim=cfg.NET.MASK_FC_DIM,
+            dual_pathway=cfg.NET.DUAL_PATHWAY,
+            pre_nms_top_n=(cfg.STATIC.TRAIN_PRE_NMS_TOP_N if train
+                           else cfg.STATIC.TEST_PRE_NMS_TOP_N),
+            post_nms_top_n=(cfg.STATIC.TRAIN_POST_NMS_TOP_N if train
+                            else cfg.STATIC.TEST_POST_NMS_TOP_N),
+            rpn_nms_thresh=(cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH),
+            rpn_min_size=float(cfg.TRAIN.RPN_MIN_SIZE if train else cfg.TEST.RPN_MIN_SIZE),
+            bbox_means=tuple(cfg.TRAIN.BBOX_NORMALIZE_MEANS),
+            bbox_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchor_scales) * len(self.anchor_ratios)
+
+    @property
+    def feat_hw(self) -> tuple[int, int]:
+        return self.canvas[0] // self.feat_stride, self.canvas[1] // self.feat_stride
+
+    @property
+    def spatial_scale(self) -> float:
+        return 1.0 / self.feat_stride
+
+    def all_anchors(self) -> np.ndarray:
+        fh, fw = self.feat_hw
+        return shifted_anchors(fh, fw, self.feat_stride, self.anchor_ratios,
+                               self.anchor_scales)
+
+
+# --------------------------------------------------------------------------- #
+# ProposalLayer — on-device (≙ lib/pylayer/proposal_layer.py)
+# --------------------------------------------------------------------------- #
+
+
+def propose_rois(
+    rpn_cls: jnp.ndarray,
+    rpn_bbox: jnp.ndarray,
+    im_info: jnp.ndarray,
+    anchors: jnp.ndarray,
+    arch: MNCArch,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RPN outputs → padded (post_nms_top_n, 4) RoIs + validity + scores.
+
+    Same algorithm as the reference ProposalLayer (decode → clip → min-size
+    filter → top-K by score → NMS → top-N) but fixed-shape and fully
+    on-device.  ``im_info = (h, w, scale)`` of the *scaled* image inside the
+    padded canvas.
+
+    Channel convention: rpn_cls channels are interleaved per-anchor (bg, fg)
+    pairs — channel 2a = bg logit, 2a+1 = fg logit of anchor a — and rpn_bbox
+    channels are per-anchor (dx, dy, dw, dh) quads.  (The reference used
+    Caffe's (2, A) block layout; the interleaved layout reshapes for free.)
+
+    Note: the reference's PRE_NMS_TOP_N (6000/12000) exceeds the NMS working
+    set we keep (arch.pre_nms_top_n); with 23k anchors at canvas scale the
+    extra candidates are dominated duplicates — the survivors match.
+    """
+    a = anchors.shape[0]
+    scores_2 = rpn_cls.reshape(-1, 2)  # (K, 2) — (bg, fg) per anchor
+    scores = jax.nn.softmax(scores_2, axis=-1)[:, 1]
+    deltas = rpn_bbox.reshape(-1, 4)
+    assert scores.shape[0] == a, (scores.shape, a)
+
+    boxes = bbox_transform_inv(anchors, deltas)
+    boxes = clip_boxes(boxes, (im_info[0], im_info[1]))
+
+    # min-size filter at input scale (reference: RPN_MIN_SIZE * im_scale)
+    min_size = arch.rpn_min_size * im_info[2]
+    ws = boxes[:, 2] - boxes[:, 0] + 1.0
+    hs = boxes[:, 3] - boxes[:, 1] + 1.0
+    valid = (ws >= min_size) & (hs >= min_size)
+
+    # top-K pre-NMS working set
+    neg_inf = jnp.finfo(jnp.float32).min
+    masked = jnp.where(valid, scores, neg_inf)
+    top_scores, top_idx = jax.lax.top_k(masked, arch.pre_nms_top_n)
+    top_boxes = boxes[top_idx]
+    top_valid = top_scores > neg_inf
+
+    idx, keep_valid = nms_indices(
+        top_boxes, top_scores, top_valid, arch.rpn_nms_thresh, arch.post_nms_top_n
+    )
+    rois = top_boxes[idx]
+    roi_scores = jnp.where(keep_valid, top_scores[idx], 0.0)
+    return rois, keep_valid, roi_scores
+
+
+# --------------------------------------------------------------------------- #
+# StageBridge — on-device (≙ lib/pylayer/stage_bridge_layer.py)
+# --------------------------------------------------------------------------- #
+
+
+def stage_bridge(
+    rois: jnp.ndarray,
+    cls_prob: jnp.ndarray,
+    bbox_pred: jnp.ndarray,
+    im_info: jnp.ndarray,
+    arch: MNCArch,
+    bbox_pred_normalized: bool = True,
+) -> jnp.ndarray:
+    """Refine RoIs with the predicted class's box deltas (5-stage bridge).
+
+    Picks the argmax foreground class per RoI, applies its 4 deltas
+    (de-normalized by the training target stats when the params regress
+    normalized targets — the semantic the reference realized by un-normalizing
+    fc weights at snapshot time, SURVEY.md §5.4), clips to the image.
+    Differentiable w.r.t. both rois and bbox_pred — the path that carries
+    stage-4/5 gradients into stage 3.
+    """
+    n, c = cls_prob.shape
+    fg_cls = jnp.argmax(cls_prob[:, 1:], axis=1) + 1  # (N,) ∈ [1, C)
+    deltas = bbox_pred.reshape(n, c, 4)
+    sel = jnp.take_along_axis(deltas, fg_cls[:, None, None].repeat(4, -1), axis=1)[:, 0]
+    if bbox_pred_normalized:
+        stds = jnp.asarray(arch.bbox_stds, jnp.float32)
+        means = jnp.asarray(arch.bbox_means, jnp.float32)
+        sel = sel * stds + means
+    refined = bbox_transform_inv(rois, sel)
+    return clip_boxes(refined, (im_info[0], im_info[1]))
+
+
+# --------------------------------------------------------------------------- #
+# The cascade module
+# --------------------------------------------------------------------------- #
+
+
+class MNC(nn.Module):
+    """Full MNC network: trunk + RPN + shared mask/classify heads.
+
+    ``__call__`` runs test-time inference for one image (vmap/batch outside).
+    Training uses the exposed stage methods (``features``, ``rpn``,
+    ``mask_stage``, ``classify_stage``) from ``mnc_tpu.train.loop`` so target
+    sampling can interleave between stages.
+    """
+
+    arch: MNCArch = MNCArch()
+
+    def setup(self):
+        a = self.arch
+        if a.trunk == "vgg16":
+            self.trunk = VGG16Trunk(compute_dtype=a.compute_dtype)
+        elif a.trunk.startswith("resnet"):
+            self.trunk = ResNetTrunk(depth=int(a.trunk[6:]), compute_dtype=a.compute_dtype)
+        else:
+            raise ValueError(f"unknown trunk {a.trunk!r}")
+        self.rpn_head = RPNHead(num_anchors=a.num_anchors, compute_dtype=a.compute_dtype)
+        # Stages 2&4 share mask-head weights; stages 3&5 share classify-head
+        # weights (reference 5-stage design).
+        self.mask_head = MaskHead(mask_size=a.mask_size, fc_dim=a.mask_fc_dim,
+                                  compute_dtype=a.compute_dtype)
+        self.classify_head = ClassifyHead(num_classes=a.num_classes, fc_dim=a.fc_dim,
+                                          compute_dtype=a.compute_dtype,
+                                          dual_pathway=a.dual_pathway)
+
+    # ---- stage pieces (also used by the training loop) ----
+
+    def features(self, image: jnp.ndarray) -> jnp.ndarray:
+        return self.trunk(image)
+
+    def rpn(self, feat: jnp.ndarray):
+        return self.rpn_head(feat)
+
+    def warp(self, feat: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
+        a = self.arch
+        return roi_warp(feat, rois, (a.warp_hw, a.warp_hw), a.spatial_scale,
+                        impl=a.roi_warp_impl)
+
+    def mask_stage(self, roi_feat: jnp.ndarray) -> jnp.ndarray:
+        """Warped RoI features → mask logits (N, M, M)."""
+        return self.mask_head(roi_feat)
+
+    def classify_stage(self, roi_feat: jnp.ndarray, mask_logits: jnp.ndarray,
+                       train: bool = False):
+        """RoI features + mask logits → (cls_logits, bbox_pred).
+
+        The predicted mask is sigmoided and bilinearly resized M→14 before
+        mask pooling (≙ the reference's in-graph mask resize, SURVEY.md §2.2
+        "MaskResize").
+        """
+        a = self.arch
+        soft = jax.nn.sigmoid(mask_logits)
+        soft14 = jax.image.resize(
+            soft, (soft.shape[0], a.warp_hw, a.warp_hw), method="linear")
+        return self.classify_head(roi_feat, soft14, train=train)
+
+    # ---- full test-time cascade ----
+
+    def __call__(self, image: jnp.ndarray, im_info: jnp.ndarray) -> dict:
+        """(H, W, 3) preprocessed canvas + im_info (h, w, scale) → detections.
+
+        Returns dict with fixed-shape arrays:
+          rois         (N, 4)  final boxes (stage-3-refined for 5-stage)
+          roi_valid    (N,)    validity mask
+          cls_prob     (N, C)  softmax scores (5-stage: two-pass average)
+          mask_logits  (N, M, M) final mask logits
+          bbox_pred    (N, 4C) raw (normalized) deltas of the LAST classify pass
+        """
+        a = self.arch
+        anchors = jnp.asarray(a.all_anchors())
+        feat = self.features(image)
+        rpn_cls, rpn_bbox = self.rpn(feat)
+        rois, roi_valid, _ = propose_rois(rpn_cls, rpn_bbox, im_info, anchors, a)
+
+        # stages 2-3: mask, then mask-weighted classification
+        roi_feat = self.warp(feat, rois)
+        mask_logits = self.mask_stage(roi_feat)
+        cls_logits, bbox_pred = self.classify_stage(roi_feat, mask_logits)
+        cls_prob = jax.nn.softmax(cls_logits, axis=-1)
+
+        out_rois, out_masks, out_prob = rois, mask_logits, cls_prob
+        if a.n_stages == 5:
+            # stage bridge + stages 4-5 (shared weights), score fusion
+            rois2 = stage_bridge(rois, cls_prob, bbox_pred, im_info, a)
+            roi_feat2 = self.warp(feat, rois2)
+            mask_logits2 = self.mask_stage(roi_feat2)
+            cls_logits2, bbox_pred2 = self.classify_stage(roi_feat2, mask_logits2)
+            cls_prob2 = jax.nn.softmax(cls_logits2, axis=-1)
+            out_rois = rois2
+            out_masks = mask_logits2
+            out_prob = 0.5 * (cls_prob + cls_prob2)
+            bbox_pred = bbox_pred2
+
+        return {
+            "rois": out_rois,
+            "roi_valid": roi_valid,
+            "cls_prob": out_prob,
+            "mask_logits": out_masks,
+            "bbox_pred": bbox_pred,
+            # first-pass extras for mask voting (candidates from both passes)
+            "stage3_rois": rois,
+            "stage3_cls_prob": cls_prob,
+            "stage3_mask_logits": mask_logits,
+        }

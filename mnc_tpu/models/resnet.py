@@ -1,0 +1,93 @@
+"""ResNet trunk (stride-16, C4 feature) — the MNC COCO-challenge backbone.
+
+The reference won COCO 2015 segmentation with ResNet-101 in place of VGG-16
+(SURVEY.md §0; BASELINE.json configs[4]).  Standard bottleneck ResNet with the
+detection convention: stages conv1–conv4 (stride 16) produce the shared
+feature map; the conv5 stage is used as the per-RoI head (here we keep conv5
+in the trunk optionally disabled and reuse the fc heads instead — flagged).
+
+BatchNorm runs in inference mode with folded scale/bias (detection fine-tuning
+freezes BN, as the original implementation did).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+class FrozenBN(nn.Module):
+    """Affine-only BatchNorm (frozen statistics folded into scale/bias)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    stride: int = 1
+    project: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        residual = x
+        y = conv(self.features, 1, self.stride, "conv1")(x)
+        y = nn.relu(FrozenBN(self.features, self.dtype, name="bn1")(y))
+        y = conv(self.features, 3, 1, "conv2")(y)
+        y = nn.relu(FrozenBN(self.features, self.dtype, name="bn2")(y))
+        y = conv(self.features * 4, 1, 1, "conv3")(y)
+        y = FrozenBN(self.features * 4, self.dtype, name="bn3")(y)
+        if self.project:
+            residual = conv(self.features * 4, 1, self.stride, "proj")(x)
+            residual = FrozenBN(self.features * 4, self.dtype, name="bn_proj")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetTrunk(nn.Module):
+    """conv1…conv4 (stride 16).  Output channels: 1024."""
+
+    depth: int = 101
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    frozen_stages: int = 1  # stop grads through conv1 (+stem), detection default
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        x = x.astype(self.compute_dtype)
+        blocks = _DEPTHS[self.depth][:3]  # stages conv2..conv4 → stride 16
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+                    dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1")(x)
+        x = nn.relu(FrozenBN(64, self.compute_dtype, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.frozen_stages >= 1:
+            x = jax.lax.stop_gradient(x)
+
+        features = (64, 128, 256)
+        for stage, (n_blocks, f) in enumerate(zip(blocks, features)):
+            stride = 1 if stage == 0 else 2
+            x = Bottleneck(f, stride, True, self.compute_dtype,
+                           name=f"stage{stage + 2}_block0")(x)
+            for b in range(1, n_blocks):
+                x = Bottleneck(f, 1, False, self.compute_dtype,
+                               name=f"stage{stage + 2}_block{b}")(x)
+            if self.frozen_stages >= stage + 2:
+                x = jax.lax.stop_gradient(x)
+        return x[0] if squeeze else x

@@ -1,0 +1,117 @@
+"""Model assembly: shapes, proposal layer behavior, full cascade jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mnc_tpu.models.mnc import MNC, MNCArch, propose_rois, stage_bridge
+from mnc_tpu.ops.anchors import shifted_anchors
+
+TINY = MNCArch(
+    canvas=(64, 96),
+    num_classes=6,
+    mask_size=9,
+    warp_hw=4,
+    n_stages=5,
+    compute_dtype=jnp.float32,
+    fc_dim=32,
+    mask_fc_dim=16,
+    pre_nms_top_n=64,
+    post_nms_top_n=16,
+    rpn_min_size=4.0,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = MNC(arch=TINY)
+    img = jnp.zeros((*TINY.canvas, 3), jnp.float32)
+    im_info = jnp.array([64.0, 96.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, im_info)
+    return model, params
+
+
+def test_cascade_shapes(model_and_params):
+    model, params = model_and_params
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(*TINY.canvas, 3).astype(np.float32))
+    im_info = jnp.array([64.0, 96.0, 1.0])
+    out = jax.jit(model.apply)(params, img, im_info)
+    n, c, m = TINY.post_nms_top_n, TINY.num_classes, TINY.mask_size
+    assert out["rois"].shape == (n, 4)
+    assert out["roi_valid"].shape == (n,)
+    assert out["cls_prob"].shape == (n, c)
+    assert out["mask_logits"].shape == (n, m, m)
+    assert out["bbox_pred"].shape == (n, 4 * c)
+    # probabilities sum to 1
+    np.testing.assert_allclose(np.asarray(out["cls_prob"]).sum(-1), 1.0, atol=1e-3)
+    # rois inside the image
+    r = np.asarray(out["rois"])
+    assert (r[:, 0] >= 0).all() and (r[:, 2] <= 95).all()
+    assert (r[:, 1] >= 0).all() and (r[:, 3] <= 63).all()
+
+
+def test_propose_rois_prefers_high_scores():
+    arch = TINY
+    fh, fw = arch.feat_hw
+    a = arch.num_anchors
+    anchors = jnp.asarray(shifted_anchors(fh, fw, arch.feat_stride,
+                                          arch.anchor_ratios, arch.anchor_scales))
+    # Score one specific anchor very high, others low.  Channel layout:
+    # interleaved (bg, fg) per anchor — 2a = bg, 2a+1 = fg.
+    cls = np.zeros((fh, fw, 2 * a), np.float32)
+    cls[..., 0::2] = 5.0  # bg logits high by default
+    cls[..., 1::2] = -5.0
+    hot = (1, 2, 3)  # (y, x, anchor)
+    cls[hot[0], hot[1], 2 * hot[2] + 1] = 10.0
+    cls[hot[0], hot[1], 2 * hot[2]] = -10.0
+    bbox = np.zeros((fh, fw, 4 * a), np.float32)
+    im_info = jnp.array([64.0, 96.0, 1.0])
+    rois, valid, scores = propose_rois(jnp.asarray(cls), jnp.asarray(bbox),
+                                       im_info, anchors, arch)
+    assert bool(valid[0])
+    # The winning roi decodes the hot anchor (zero deltas → clipped anchor box)
+    k = (hot[0] * fw + hot[1]) * a + hot[2]
+    want = np.array(jnp.clip(anchors[k], 0.0))
+    want[2] = min(want[2], 95.0)
+    want[3] = min(want[3], 63.0)
+    np.testing.assert_allclose(np.asarray(rois[0]), want, atol=1e-4)
+    assert float(scores[0]) > 0.99
+
+
+def test_stage_bridge_moves_boxes():
+    arch = TINY
+    rois = jnp.array([[10.0, 10.0, 30.0, 30.0]])
+    cls_prob = jnp.array([[0.1, 0.8, 0.05, 0.02, 0.02, 0.01]])
+    bbox = np.zeros((1, 24), np.float32)
+    bbox[0, 4:8] = [1.0, 0.0, 0.0, 0.0]  # class-1 dx=1 (normalized by std 0.1 → 0.1)
+    out = np.asarray(stage_bridge(rois, cls_prob, jnp.asarray(bbox),
+                                  jnp.array([64.0, 96.0, 1.0]), arch))
+    # dx = 1 * std(0.1) = 0.1 → shift = 0.1 * w(21) = 2.1
+    np.testing.assert_allclose(out[0, 0], 10.0 + 2.1, atol=1e-4)
+    np.testing.assert_allclose(out[0, 1], 10.0, atol=1e-4)
+
+
+def test_stage_bridge_grads_flow_to_rois_and_deltas():
+    arch = TINY
+    rois = jnp.array([[10.0, 10.0, 30.0, 30.0]])
+    cls_prob = jnp.array([[0.1, 0.8, 0.05, 0.02, 0.02, 0.01]])
+    bbox = jnp.zeros((1, 24))
+
+    def loss(r, b):
+        return jnp.sum(stage_bridge(r, cls_prob, b, jnp.array([64.0, 96.0, 1.0]), arch))
+
+    gr, gb = jax.grad(loss, argnums=(0, 1))(rois, bbox)
+    assert np.abs(np.asarray(gr)).sum() > 0
+    assert np.abs(np.asarray(gb)).sum() > 0
+
+
+def test_three_stage_variant(model_and_params):
+    arch3 = MNCArch(**{**TINY.__dict__, "n_stages": 3})
+    model = MNC(arch=arch3)
+    img = jnp.zeros((*arch3.canvas, 3), jnp.float32)
+    im_info = jnp.array([64.0, 96.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, im_info)
+    out = model.apply(params, img, im_info)
+    assert out["mask_logits"].shape == (arch3.post_nms_top_n, 9, 9)
