@@ -1,0 +1,225 @@
+"""On-device training target assignment.
+
+Fixed-shape, masked re-designs of the reference's dynamic-shape Python layers:
+
+- :func:`anchor_targets` ≙ ``lib/pylayer/anchor_target_layer.py`` — RPN
+  labels/regression targets over all anchors with random fg/bg subsampling.
+- :func:`proposal_targets` ≙ ``lib/pylayer/proposal_target_layer.py`` — sample
+  a fixed RoI batch (fg quota + bg fill), assign class labels, normalized
+  bbox deltas and MASK_SIZE² mask targets.
+- :func:`reassign_targets` ≙ the target-recomputation half of
+  ``lib/pylayer/stage_bridge_layer.py`` — after the 5-stage bridge refines the
+  sampled RoIs, labels/box/mask targets are recomputed for the second pass
+  (no re-sampling).
+
+The reference did all of this per-iteration in numpy on the host (forcing a
+GPU→host→GPU round trip inside every training step); here each is pure jnp
+under jit.  Random subsampling uses rank-of-random-key selection: give every
+eligible item a uniform key, rank them, keep ranks below the (traced) quota —
+same marginal distribution as ``npr.choice(..., replace=False)``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mnc_tpu.ops.bbox import bbox_overlaps, bbox_transform
+from mnc_tpu.ops.masks import intersect_mask
+
+
+class AnchorTargets(NamedTuple):
+    labels: jnp.ndarray  # (K,) int32 ∈ {-1 ignore, 0 bg, 1 fg}
+    bbox_targets: jnp.ndarray  # (K, 4)
+    bbox_inside_w: jnp.ndarray  # (K, 4)
+    bbox_outside_w: jnp.ndarray  # (K, 4)
+
+
+class RoiTargets(NamedTuple):
+    rois: jnp.ndarray  # (B, 4) sampled boxes
+    labels: jnp.ndarray  # (B,) int32 ∈ {-1 pad, 0 bg, 1..C-1 fg class}
+    bbox_targets: jnp.ndarray  # (B, 4) normalized deltas to matched gt
+    bbox_weight: jnp.ndarray  # (B,) 1.0 for fg
+    mask_targets: jnp.ndarray  # (B, M, M) binary
+    mask_weight: jnp.ndarray  # (B,) 1.0 for fg
+
+
+def _random_rank(key, eligible: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each eligible element in a random permutation of the eligible
+    set (ineligible elements get rank >= #eligible)."""
+    r = jax.random.uniform(key, eligible.shape)
+    r = jnp.where(eligible, r, 2.0)  # push ineligible to the back
+    order = jnp.argsort(r)
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return ranks
+
+
+def anchor_targets(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    im_hw,
+    key: jax.Array,
+    pos_overlap: float = 0.7,
+    neg_overlap: float = 0.3,
+    batch_size: int = 256,
+    fg_fraction: float = 0.5,
+    clobber_positives: bool = False,
+) -> AnchorTargets:
+    """RPN training targets over the full anchor grid (K anchors).
+
+    Reference semantics preserved: only anchors fully inside the (scaled)
+    image participate; positives are (a) per-gt argmax anchors and (b) anchors
+    with IoU ≥ pos_overlap; negatives have max-IoU < neg_overlap; both sides
+    randomly subsampled to a 256-anchor batch with ≤ 50% positives; SmoothL1
+    outside-weights encode uniform 1/N_batch normalization.
+    """
+    k = anchors.shape[0]
+    h, w = im_hw
+    inside = (
+        (anchors[:, 0] >= 0)
+        & (anchors[:, 1] >= 0)
+        & (anchors[:, 2] < w)
+        & (anchors[:, 3] < h)
+    )
+
+    overlaps = bbox_overlaps(anchors, gt_boxes)  # (K, G)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, 0.0)
+    overlaps = jnp.where(inside[:, None], overlaps, 0.0)
+    max_ov = jnp.max(overlaps, axis=1)
+    argmax_gt = jnp.argmax(overlaps, axis=1)
+
+    # per-gt argmax anchors (all ties), as in the reference
+    gt_max = jnp.max(overlaps, axis=0)  # (G,)
+    is_gt_argmax = jnp.any(
+        (overlaps == gt_max[None, :]) & (gt_max[None, :] > 0) & gt_valid[None, :], axis=1
+    )
+
+    pos = inside & (is_gt_argmax | (max_ov >= pos_overlap))
+    neg = inside & (max_ov < neg_overlap)
+    if clobber_positives:
+        pos = pos & ~neg
+    else:
+        neg = neg & ~pos
+
+    k_pos, k_neg = jax.random.split(key)
+    num_fg = int(batch_size * fg_fraction)
+    pos_rank = _random_rank(k_pos, pos)
+    pos_keep = pos & (pos_rank < num_fg)
+    n_pos = jnp.sum(pos_keep)
+    neg_rank = _random_rank(k_neg, neg)
+    neg_keep = neg & (neg_rank < batch_size - n_pos)
+    n_tot = n_pos + jnp.sum(neg_keep)
+
+    labels = jnp.where(pos_keep, 1, jnp.where(neg_keep, 0, -1)).astype(jnp.int32)
+
+    matched_gt = gt_boxes[argmax_gt]
+    bbox_targets = bbox_transform(anchors, matched_gt)
+    bbox_targets = jnp.where(pos_keep[:, None], bbox_targets, 0.0)
+    inside_w = jnp.where(pos_keep[:, None], 1.0, 0.0) * jnp.ones((k, 4))
+    uniform = 1.0 / jnp.maximum(n_tot.astype(jnp.float32), 1.0)
+    outside_w = jnp.where((pos_keep | neg_keep)[:, None], uniform, 0.0) * jnp.ones((k, 4))
+    return AnchorTargets(labels, bbox_targets, inside_w, outside_w)
+
+
+def _assign(
+    rois, gt_boxes, gt_classes, gt_valid, fg_thresh
+):
+    """Match rois to gt: (max_overlap, matched box, matched class, fg mask)."""
+    overlaps = bbox_overlaps(rois, gt_boxes)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, 0.0)
+    max_ov = jnp.max(overlaps, axis=1)
+    arg = jnp.argmax(overlaps, axis=1)
+    return max_ov, arg, gt_boxes[arg], gt_classes[arg], max_ov >= fg_thresh
+
+
+def proposal_targets(
+    rois: jnp.ndarray,
+    roi_valid: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    key: jax.Array,
+    roi_batch: int = 128,
+    fg_fraction: float = 0.25,
+    fg_thresh: float = 0.5,
+    bg_thresh_hi: float = 0.5,
+    bg_thresh_lo: float = 0.0,
+    mask_size: int = 21,
+    bbox_means=(0.0, 0.0, 0.0, 0.0),
+    bbox_stds=(0.1, 0.1, 0.2, 0.2),
+) -> RoiTargets:
+    """Sample a fixed (roi_batch,) RoI training batch with full targets.
+
+    As in the reference, the gt boxes themselves are appended to the proposal
+    set before sampling (guaranteeing clean positives early in training).
+    Padding slots (when fewer than roi_batch eligible RoIs exist) carry
+    label -1 and zero weights.
+    """
+    all_rois = jnp.concatenate([rois, gt_boxes], axis=0)
+    all_valid = jnp.concatenate([roi_valid, gt_valid], axis=0)
+
+    max_ov, arg, mboxes, mcls, fg = _assign(all_rois, gt_boxes, gt_classes, gt_valid,
+                                            fg_thresh)
+    fg = fg & all_valid
+    bg = all_valid & (max_ov < bg_thresh_hi) & (max_ov >= bg_thresh_lo) & ~fg
+
+    k_fg, k_bg = jax.random.split(key)
+    fg_quota = int(round(roi_batch * fg_fraction))
+    fg_keep = fg & (_random_rank(k_fg, fg) < fg_quota)
+    n_fg = jnp.sum(fg_keep)
+    bg_keep = bg & (_random_rank(k_bg, bg) < roi_batch - n_fg)
+
+    # Gather the kept rois into a dense (roi_batch,) block: priority fg > bg.
+    sel_key = jnp.where(fg_keep, 2.0, jnp.where(bg_keep, 1.0, 0.0))
+    _, idx = jax.lax.top_k(sel_key, roi_batch)
+    picked_fg = fg_keep[idx]
+    picked_bg = bg_keep[idx]
+
+    s_rois = all_rois[idx]
+    labels = jnp.where(picked_fg, mcls[idx], jnp.where(picked_bg, 0, -1)).astype(jnp.int32)
+
+    deltas = bbox_transform(s_rois, mboxes[idx])
+    deltas = (deltas - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
+    bbox_targets = jnp.where(picked_fg[:, None], deltas, 0.0)
+    bbox_weight = picked_fg.astype(jnp.float32)
+
+    m_targets = intersect_mask(s_rois, mboxes[idx], gt_masks[arg[idx]], mask_size)
+    m_targets = jnp.where(picked_fg[:, None, None], m_targets, 0.0)
+    return RoiTargets(s_rois, labels, bbox_targets, bbox_weight, m_targets, bbox_weight)
+
+
+def reassign_targets(
+    rois: jnp.ndarray,
+    prev_labels: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    fg_thresh: float = 0.5,
+    mask_size: int = 21,
+    bbox_means=(0.0, 0.0, 0.0, 0.0),
+    bbox_stds=(0.1, 0.1, 0.2, 0.2),
+) -> RoiTargets:
+    """Recompute targets for bridge-refined RoIs (stages 4-5); no re-sampling.
+
+    RoIs that were padding (-1) stay padding; survivors are re-labeled fg/bg
+    by their refined overlap, with fresh box/mask targets against the newly
+    matched gt.
+    """
+    valid = prev_labels >= 0
+    max_ov, arg, mboxes, mcls, fg = _assign(rois, gt_boxes, gt_classes, gt_valid,
+                                            fg_thresh)
+    fg = fg & valid
+    labels = jnp.where(fg, mcls, jnp.where(valid, 0, -1)).astype(jnp.int32)
+
+    deltas = bbox_transform(rois, mboxes)
+    deltas = (deltas - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
+    bbox_targets = jnp.where(fg[:, None], deltas, 0.0)
+    w = fg.astype(jnp.float32)
+    m_targets = intersect_mask(rois, mboxes, gt_masks[arg], mask_size)
+    m_targets = jnp.where(fg[:, None, None], m_targets, 0.0)
+    return RoiTargets(rois, labels, bbox_targets, w, m_targets, w)

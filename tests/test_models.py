@@ -10,6 +10,7 @@ from mnc_tpu.ops.anchors import shifted_anchors
 
 TINY = MNCArch(
     canvas=(64, 96),
+    anchor_scales=(1, 2, 4),
     num_classes=6,
     mask_size=9,
     warp_hw=4,

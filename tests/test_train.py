@@ -1,0 +1,150 @@
+"""Training: target assignment semantics, gradient flow, loss-decreases smoke.
+
+The 50-iter fixed-seed smoke of SURVEY.md §4, shrunk to stay fast on the CPU
+mesh: tiny canvas, tiny trunk features, a handful of steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mnc_tpu.data.synthetic import SyntheticShapes
+from mnc_tpu.models.mnc import MNC, MNCArch
+from mnc_tpu.ops.anchors import shifted_anchors
+from mnc_tpu.train import anchor_targets, proposal_targets
+from mnc_tpu.train.loop import TrainState, make_train_step, mnc_loss
+from mnc_tpu.train.optim import make_optimizer
+
+ARCH = MNCArch(
+    canvas=(128, 160),
+    anchor_scales=(2, 4, 8),
+    num_classes=4,
+    mask_size=9,
+    warp_hw=4,
+    n_stages=5,
+    compute_dtype=jnp.float32,
+    fc_dim=64,
+    mask_fc_dim=32,
+    pre_nms_top_n=128,
+    post_nms_top_n=32,
+    rpn_min_size=4.0,
+)
+TRAIN_CFG = dict(
+    RPN_POSITIVE_OVERLAP=0.7, RPN_NEGATIVE_OVERLAP=0.3, RPN_BATCHSIZE=64,
+    RPN_FG_FRACTION=0.5, BATCH_SIZE=32, FG_FRACTION=0.25, FG_THRESH=0.5,
+    BG_THRESH_HI=0.5, BG_THRESH_LO=0.0,
+)
+DATA = SyntheticShapes(canvas_hw=ARCH.canvas, num_classes=ARCH.num_classes,
+                       max_gt=4, gt_mask_size=16, n_range=(1, 2), seed=7)
+
+
+def _jnp_batch(ex):
+    return {k: jnp.asarray(v) for k, v in ex.items()}
+
+
+def test_anchor_targets_semantics():
+    anchors = jnp.asarray(shifted_anchors(8, 10, 16, scales=(2, 4, 8)))
+    gt = jnp.asarray(np.array([[40.0, 30.0, 120.0, 90.0]], np.float32))
+    at = anchor_targets(anchors, gt, jnp.array([True]), (128.0, 160.0),
+                        jax.random.PRNGKey(0), batch_size=64)
+    labels = np.asarray(at.labels)
+    assert (labels == 1).sum() >= 1  # at least the per-gt argmax anchor
+    assert (labels == 0).sum() > 0
+    assert (labels == 1).sum() <= 32
+    assert ((labels == 1).sum() + (labels == 0).sum()) <= 64
+    # positive anchors carry nonzero inside weights; negatives don't
+    iw = np.asarray(at.bbox_inside_w)
+    assert (iw[labels == 1] == 1.0).all()
+    assert (iw[labels != 1] == 0.0).all()
+    # outside weights uniform over the sampled batch
+    ow = np.asarray(at.bbox_outside_w)
+    n_batch = (labels >= 0).sum()
+    np.testing.assert_allclose(ow[labels >= 0], 1.0 / n_batch, rtol=1e-5)
+
+
+def test_anchor_targets_outside_anchors_ignored():
+    anchors = jnp.asarray(shifted_anchors(8, 10, 16, scales=(2, 4, 8)))
+    gt = jnp.asarray(np.array([[40.0, 30.0, 120.0, 90.0]], np.float32))
+    at = anchor_targets(anchors, gt, jnp.array([True]), (128.0, 160.0),
+                        jax.random.PRNGKey(0))
+    a = np.asarray(anchors)
+    outside = (a[:, 0] < 0) | (a[:, 1] < 0) | (a[:, 2] >= 160) | (a[:, 3] >= 128)
+    assert (np.asarray(at.labels)[outside] == -1).all()
+
+
+def test_proposal_targets_semantics():
+    rs = np.random.RandomState(0)
+    gt_boxes = jnp.asarray(np.array([[20.0, 20.0, 70.0, 80.0]], np.float32))
+    gt_cls = jnp.asarray(np.array([2], np.int32))
+    gt_valid = jnp.array([True])
+    gt_masks = jnp.ones((1, 16, 16))
+    # proposals: some near gt, some far
+    rois = np.concatenate([
+        np.array([[22.0, 18.0, 68.0, 78.0], [25.0, 25.0, 75.0, 85.0]], np.float32),
+        np.abs(rs.uniform(90, 140, size=(20, 2))).repeat(2, 1).astype(np.float32)
+        + np.array([0, 0, 10, 12], np.float32),
+    ])
+    tgt = proposal_targets(
+        jnp.asarray(rois), jnp.ones(len(rois), bool), gt_boxes, gt_cls, gt_valid,
+        gt_masks, jax.random.PRNGKey(1), roi_batch=16, mask_size=9,
+    )
+    labels = np.asarray(tgt.labels)
+    # the two near-gt rois and the appended gt box itself are fg with class 2
+    assert (labels == 2).sum() >= 2
+    assert (labels == 0).sum() > 0
+    # fg rois have mask weight 1 and nonzero mask targets
+    w = np.asarray(tgt.mask_weight)
+    assert (w[labels == 2] == 1.0).all() and (w[labels != 2] == 0.0).all()
+    assert np.asarray(tgt.mask_targets)[labels == 2].sum() > 0
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = MNC(arch=ARCH)
+    ex = _jnp_batch(DATA.example(0))
+    params = model.init(jax.random.PRNGKey(0), ex["image"], ex["im_info"])
+    return model, params
+
+
+def test_downstream_grads_reach_rpn_bbox(model_params):
+    """The MNC signature property: stage-2/3 losses alone (no RPN loss) must
+    produce gradients in rpn_bbox_pred, via roi_warp's box-coordinate VJP."""
+    model, params = model_params
+    anchors = jnp.asarray(ARCH.all_anchors())
+    batch = _jnp_batch(DATA.example(1))
+
+    def downstream_only(p):
+        _, losses = mnc_loss(p, model, batch, jax.random.PRNGKey(3), ARCH,
+                             anchors, TRAIN_CFG)
+        return losses["s23_mask"] + losses["s23_cls"] + losses["s23_bbox"]
+
+    g = jax.grad(downstream_only)(params)
+    gk = np.asarray(g["params"]["rpn_head"]["rpn_bbox_pred"]["kernel"])
+    assert np.abs(gk).max() > 0.0
+
+
+def test_train_smoke_loss_decreases(model_params):
+    model, params = model_params
+    tx = make_optimizer(params, base_lr=0.002, stepsize=10000)
+    step = make_train_step(model, tx, ARCH, TRAIN_CFG, donate=False)
+    state = TrainState.create(params, tx)
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for it in range(8):
+        key, k = jax.random.split(key)
+        batch = _jnp_batch(DATA.example(it % 4))
+        state, metrics = step(state, batch, k)
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_batched_images(model_params):
+    model, params = model_params
+    tx = make_optimizer(params)
+    step = make_train_step(model, tx, ARCH, TRAIN_CFG, donate=False)
+    state = TrainState.create(params, tx)
+    batch = {k: jnp.asarray(v) for k, v in DATA.batch([0, 1]).items()}
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))
