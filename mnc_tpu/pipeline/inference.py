@@ -1,0 +1,184 @@
+"""Jitted end-to-end inference: image → per-instance (box, class, score, mask).
+
+This is the library API under both ``tools/demo.py`` and ``tools/test_net.py``
+(SURVEY.md §3.4 — the reference's ``im_detect`` + the post-processing half of
+``lib/caffeWrapper/TesterWrapper.py``): per-class NMS, mask voting
+(``lib/nms/mv.pyx``), cross-class top-K, and full-canvas mask paste-back.
+Everything after host image decode/resize executes in ONE XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mnc_tpu.config import cfg
+from mnc_tpu.models.mnc import MNC, MNCArch
+from mnc_tpu.ops.masks import paste_masks
+from mnc_tpu.ops.mask_voting import mask_voting
+from mnc_tpu.ops.nms import nms_indices
+from mnc_tpu.utils.blob import prep_im_for_blob
+
+
+@dataclasses.dataclass(frozen=True)
+class PostCfg:
+    """Static post-processing configuration (reference TEST.* semantics)."""
+
+    nms_thresh: float = 0.3  # TEST.NMS per-class box NMS
+    dets_per_class: int = 16  # padded per-class keep
+    max_per_image: int = 100  # TEST.MAX_PER_IMAGE cross-class cap
+    use_mask_merge: bool = True  # TEST.USE_MASK_MERGE
+    mask_merge_iou: float = 0.5  # TEST.MASK_MERGE_IOU_THRESH
+    score_thresh: float = 0.0  # candidates below are dropped (CONF at demo time)
+    paste: bool = True  # fuse full-canvas paste-back into the program
+    binarize_thresh: float = 0.4  # cfg.BINARIZE_THRESH
+
+    @classmethod
+    def from_cfg(cls, **over) -> "PostCfg":
+        kw = dict(
+            nms_thresh=cfg.TEST.NMS,
+            max_per_image=cfg.TEST.MAX_PER_IMAGE,
+            use_mask_merge=bool(cfg.TEST.USE_MASK_MERGE),
+            mask_merge_iou=cfg.TEST.MASK_MERGE_IOU_THRESH,
+            binarize_thresh=cfg.BINARIZE_THRESH,
+        )
+        kw.update(over)
+        return cls(**kw)
+
+
+def postprocess_detections(
+    rois: jnp.ndarray,
+    roi_valid: jnp.ndarray,
+    cls_prob: jnp.ndarray,
+    mask_logits: jnp.ndarray,
+    post: PostCfg,
+    canvas_hw: tuple[int, int] | None,
+) -> dict:
+    """Fixed-shape detection post-processing, fully on-device.
+
+    Per foreground class: NMS over (rois, class score) → top dets_per_class;
+    mask voting merges candidate soft masks into each survivor; then a
+    cross-class top max_per_image cut.  Returns padded arrays + validity.
+    """
+    n, c = cls_prob.shape
+    soft_masks = jax.nn.sigmoid(mask_logits)
+
+    def per_class(scores_c):
+        ok = roi_valid & (scores_c > post.score_thresh)
+        idx, keep = nms_indices(rois, scores_c, ok, post.nms_thresh,
+                                post.dets_per_class)
+        kept_boxes = rois[idx]
+        kept_scores = jnp.where(keep, scores_c[idx], 0.0)
+        if post.use_mask_merge:
+            kept_masks = mask_voting(
+                kept_boxes, rois, jnp.where(ok, scores_c, 0.0), soft_masks, ok,
+                post.mask_merge_iou,
+            )
+        else:
+            kept_masks = soft_masks[idx]
+        return kept_boxes, kept_scores, kept_masks, keep
+
+    # vmap over foreground classes (class 0 = background skipped)
+    fg_scores = cls_prob[:, 1:].T  # (C-1, N)
+    boxes_c, scores_c, masks_c, keep_c = jax.vmap(per_class)(fg_scores)
+
+    d = post.dets_per_class
+    flat_boxes = boxes_c.reshape((c - 1) * d, 4)
+    flat_scores = scores_c.reshape((c - 1) * d)
+    flat_masks = masks_c.reshape((c - 1) * d, *masks_c.shape[-2:])
+    flat_valid = keep_c.reshape((c - 1) * d)
+    flat_cls = jnp.repeat(jnp.arange(1, c, dtype=jnp.int32), d)
+
+    k = min(post.max_per_image, (c - 1) * d)
+    top_scores, top_idx = jax.lax.top_k(jnp.where(flat_valid, flat_scores, -1.0), k)
+    out = {
+        "boxes": flat_boxes[top_idx],
+        "scores": top_scores,
+        "classes": flat_cls[top_idx],
+        "masks": flat_masks[top_idx],
+        "valid": top_scores > 0.0,
+    }
+    if post.paste and canvas_hw is not None:
+        out["canvas_masks"] = paste_masks(
+            out["masks"], out["boxes"], canvas_hw, binarize_thresh=post.binarize_thresh
+        )
+    return out
+
+
+class MNCPipeline:
+    """demo.py / test_net.py-compatible inference front-end.
+
+    Usage:
+        pipe = MNCPipeline(model, params)
+        dets = pipe.detect(bgr_image)   # original-resolution outputs
+
+    ``detect_canvas`` is the jitted canvas-space core (network + postprocess in
+    one XLA program); ``detect`` adds the host-side pre/post coordinate
+    bookkeeping back to original image resolution.
+    """
+
+    def __init__(self, model: MNC, params: Any, post: PostCfg | None = None):
+        self.model = model
+        self.params = params
+        self.arch: MNCArch = model.arch
+        self.post = post or PostCfg.from_cfg()
+
+        @jax.jit
+        def _run(params, image, im_info):
+            net_out = model.apply(params, image, im_info)
+            dets = postprocess_detections(
+                net_out["rois"], net_out["roi_valid"], net_out["cls_prob"],
+                net_out["mask_logits"], self.post, self.arch.canvas,
+            )
+            return dets
+
+        self._run = _run
+        self._run_batch = jax.jit(jax.vmap(_run, in_axes=(None, 0, 0)))
+
+    def detect_canvas(self, canvas: jnp.ndarray, im_info: jnp.ndarray) -> dict:
+        return self._run(self.params, canvas, im_info)
+
+    def detect(self, bgr_image: np.ndarray) -> dict:
+        """Full host API: BGR uint8 image → original-resolution detections.
+
+        Returns numpy dict: boxes (K, 4) in original coords, scores (K,),
+        classes (K,), valid (K,), masks (K, M, M) soft, and full_masks
+        (K, H_orig, W_orig) binary if pasting is enabled.
+        """
+        canvas, im_info = prep_im_for_blob(bgr_image, canvas_hw=self.arch.canvas)
+        dets = jax.device_get(self.detect_canvas(jnp.asarray(canvas), jnp.asarray(im_info)))
+        scale = float(im_info[2])
+        out = {
+            "boxes": dets["boxes"] / scale,
+            "scores": dets["scores"],
+            "classes": dets["classes"],
+            "masks": dets["masks"],
+            "valid": dets["valid"],
+        }
+        if "canvas_masks" in dets:
+            h, w = bgr_image.shape[:2]
+            sh, sw = int(im_info[0]), int(im_info[1])
+            full = []
+            for m in dets["canvas_masks"]:
+                full.append(_resize_mask_to(m[:sh, :sw], (h, w)))
+            out["full_masks"] = np.stack(full).astype(np.uint8)
+        return out
+
+
+def _resize_mask_to(mask: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    try:
+        import cv2
+
+        return (cv2.resize(mask.astype(np.float32), (hw[1], hw[0]),
+                           interpolation=cv2.INTER_LINEAR) > 0.5).astype(np.uint8)
+    except ImportError:  # pragma: no cover
+        ys = np.clip((np.arange(hw[0]) * mask.shape[0] / hw[0]).astype(int), 0,
+                     mask.shape[0] - 1)
+        xs = np.clip((np.arange(hw[1]) * mask.shape[1] / hw[1]).astype(int), 0,
+                     mask.shape[1] - 1)
+        return (mask[np.ix_(ys, xs)] > 0.5).astype(np.uint8)

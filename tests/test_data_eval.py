@@ -1,0 +1,110 @@
+"""Datasets, loader, and the mAP^r evaluator."""
+
+import numpy as np
+
+from mnc_tpu.data.eval_sds import eval_sds, print_ap_table, voc_ap
+from mnc_tpu.data.loader import TrainLoader
+from mnc_tpu.data.pascal_voc import get_imdb
+from mnc_tpu.data.synth_imdb import SyntheticIMDB
+
+
+def _blob_mask(h, w, y1, y2, x1, x2):
+    m = np.zeros((h, w), np.uint8)
+    m[y1:y2, x1:x2] = 1
+    return m
+
+
+def test_eval_sds_perfect_detections():
+    gt = {
+        "a": [{"class_id": 1, "mask": _blob_mask(32, 32, 2, 12, 3, 13)},
+              {"class_id": 2, "mask": _blob_mask(32, 32, 18, 30, 16, 28)}],
+        "b": [{"class_id": 1, "mask": _blob_mask(32, 32, 5, 20, 5, 20)}],
+    }
+    dets = []
+    for img, lst in gt.items():
+        for g in lst:
+            dets.append({"image_id": img, "class_id": g["class_id"],
+                         "score": 0.9, "mask": g["mask"]})
+    res = eval_sds(dets, gt, num_classes=3)
+    assert res["map"] == 1.0
+    assert res["ap"][1] == 1.0 and res["ap"][2] == 1.0
+    table = print_ap_table(res)
+    assert "Mean AP^r = 1.0000" in table
+
+
+def test_eval_sds_false_positive_and_miss():
+    gt = {"a": [{"class_id": 1, "mask": _blob_mask(32, 32, 2, 12, 3, 13)},
+                {"class_id": 1, "mask": _blob_mask(32, 32, 20, 30, 20, 30)}]}
+    dets = [
+        # matches gt 0
+        {"image_id": "a", "class_id": 1, "score": 0.9,
+         "mask": _blob_mask(32, 32, 2, 12, 3, 13)},
+        # garbage (no overlap) — false positive at lower score
+        {"image_id": "a", "class_id": 1, "score": 0.5,
+         "mask": _blob_mask(32, 32, 0, 2, 28, 32)},
+    ]
+    res = eval_sds(dets, gt, num_classes=2)
+    # recall reaches 0.5 with precision 1, then FP: AP = 0.5
+    np.testing.assert_allclose(res["map"], 0.5, atol=1e-6)
+
+
+def test_eval_sds_duplicate_detection_is_fp():
+    gt = {"a": [{"class_id": 1, "mask": _blob_mask(32, 32, 2, 12, 3, 13)}]}
+    m = _blob_mask(32, 32, 2, 12, 3, 13)
+    dets = [{"image_id": "a", "class_id": 1, "score": s, "mask": m}
+            for s in (0.9, 0.8)]
+    res = eval_sds(dets, gt, num_classes=2)
+    # second (claimed gt) is a false positive; AP stays 1.0 since the TP ranks first
+    np.testing.assert_allclose(res["ap"][1], 1.0, atol=1e-6)
+
+
+def test_voc_ap_monotone_envelope():
+    rec = np.array([0.2, 0.4, 0.6])
+    prec = np.array([1.0, 0.5, 0.75])
+    ap = voc_ap(rec, prec)
+    # envelope: [0,0.4]→1? no: first seg 0→0.2 @1.0, 0.2→0.4 @0.75, 0.4→0.6 @0.75
+    np.testing.assert_allclose(ap, 0.2 * 1.0 + 0.2 * 0.75 + 0.2 * 0.75, atol=1e-6)
+
+
+def test_synthetic_imdb_consistency():
+    imdb = SyntheticIMDB(canvas_hw=(96, 128), num_classes=4, num_images=4)
+    roidb = imdb.roidb()
+    maskdb = imdb.maskdb()
+    assert len(roidb) == len(maskdb) == 4
+    for r, m in zip(roidb, maskdb):
+        assert len(r["boxes"]) == len(m["masks"])
+        assert (r["classes"] >= 1).all() and (r["classes"] < 4).all()
+    gt = imdb.gt_instances()
+    assert set(gt.keys()) == set(range(4))
+    # full masks live inside their boxes
+    ex_gt = gt[0]
+    r0 = roidb[0]
+    for g, box in zip(ex_gt, r0["boxes"]):
+        ys, xs = np.where(g["mask"])
+        assert xs.min() >= box[0] - 1 and xs.max() <= box[2] + 1
+        assert ys.min() >= box[1] - 1 and ys.max() <= box[3] + 1
+
+
+def test_train_loader_shapes_and_flip():
+    imdb = SyntheticIMDB(canvas_hw=(96, 128), num_classes=4, num_images=4)
+    loader = TrainLoader(imdb, max_gt=8, canvas_hw=(96, 128), gt_mask_size=16,
+                         ims_per_batch=2, use_flipped=True, prefetch=2)
+    batch = next(loader)
+    assert batch["image"].shape == (2, 96, 128, 3)
+    assert batch["gt_boxes"].shape == (2, 8, 4)
+    assert batch["gt_masks"].shape == (2, 8, 16, 16)
+    assert batch["gt_valid"].any()
+    # boxes well-formed
+    b = batch["gt_boxes"][batch["gt_valid"]]
+    assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+    assert (b[:, 0] >= 0).all() and (b[:, 2] <= 127).all()
+
+
+def test_factory_names():
+    imdb = get_imdb("synthetic_8")
+    assert imdb.num_images == 8
+    # VOC names construct lazily without data on disk
+    det = get_imdb("voc_2012_train")
+    assert det.num_classes == 21
+    seg = get_imdb("voc_2012_seg_val")
+    assert seg.name == "voc_2012_seg_val"

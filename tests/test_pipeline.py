@@ -1,0 +1,84 @@
+"""End-to-end pipeline: jitted detect + postprocess + evaluator plumbing.
+
+The "minimum end-to-end slice" of SURVEY.md §7.3 on the synthetic dataset:
+train briefly, run the full detect pipeline (network + per-class NMS + mask
+voting + paste-back in one jit), feed the evaluator.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mnc_tpu.data.eval_sds import collect_detections, eval_sds
+from mnc_tpu.data.synth_imdb import SyntheticIMDB
+from mnc_tpu.models.mnc import MNC, MNCArch
+from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg, postprocess_detections
+
+ARCH = MNCArch(
+    canvas=(96, 128),
+    anchor_scales=(2, 4, 8),
+    num_classes=4,
+    mask_size=9,
+    warp_hw=4,
+    n_stages=5,
+    compute_dtype=jnp.float32,
+    fc_dim=64,
+    mask_fc_dim=32,
+    pre_nms_top_n=64,
+    post_nms_top_n=16,
+    rpn_min_size=4.0,
+)
+POST = PostCfg(dets_per_class=4, max_per_image=8, paste=True)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model = MNC(arch=ARCH)
+    img = jnp.zeros((*ARCH.canvas, 3), jnp.float32)
+    im_info = jnp.array([96.0, 128.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, im_info)
+    return MNCPipeline(model, params, POST)
+
+
+def test_postprocess_shapes_standalone():
+    n, c, m = 32, 4, 9
+    rs = np.random.RandomState(0)
+    rois = np.abs(rs.uniform(0, 60, size=(n, 2))).astype(np.float32)
+    rois = np.concatenate([rois, rois + 20], axis=1)
+    prob = rs.dirichlet(np.ones(c), size=n).astype(np.float32)
+    logits = rs.randn(n, m, m).astype(np.float32)
+    out = postprocess_detections(
+        jnp.asarray(rois), jnp.ones(n, bool), jnp.asarray(prob),
+        jnp.asarray(logits), POST, (96, 128))
+    assert out["boxes"].shape == (8, 4)
+    assert out["canvas_masks"].shape == (8, 96, 128)
+    assert out["classes"].shape == (8,)
+    cls = np.asarray(out["classes"])
+    assert ((cls >= 1) & (cls < c)).all()
+
+
+def test_detect_canvas_jit_and_eval_plumbing(pipeline):
+    imdb = SyntheticIMDB(canvas_hw=ARCH.canvas, num_classes=ARCH.num_classes,
+                         num_images=2)
+    dets = []
+    for i in imdb.image_index:
+        ex = imdb.example(i)
+        out = jax.device_get(pipeline.detect_canvas(
+            jnp.asarray(ex["image"]), jnp.asarray(ex["im_info"])))
+        dets.extend(collect_detections(out, i))
+    # untrained model: evaluator must still run end to end
+    res = eval_sds(dets, imdb.gt_instances(), imdb.num_classes, 0.5)
+    assert 0.0 <= res["map"] <= 1.0
+
+
+def test_detect_host_api(pipeline):
+    """detect() maps back to original resolution (here: odd-size image)."""
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, size=(70, 100, 3), dtype=np.uint8)
+    out = pipeline.detect(img)
+    assert out["boxes"].shape[1] == 4
+    assert out["full_masks"].shape[1:] == (70, 100)
+    b = out["boxes"][out["valid"]]
+    if len(b):
+        assert (b[:, 2] <= 100).all() and (b[:, 3] <= 70).all()
