@@ -68,7 +68,11 @@ def nms_fixed(boxes: jnp.ndarray, valid: jnp.ndarray, thresh) -> jnp.ndarray:
         keep_new = valid & ~suppressed
         return it + 1, keep_new, jnp.any(keep_new != keep)
 
-    _, keep, _ = jax.lax.while_loop(cond, body, (0, valid, jnp.array(True)))
+    # Derive the scalar carry inits from `valid` so their device-varying type
+    # matches the loop body under shard_map (jax vma typing).
+    it0 = jnp.sum(valid.astype(jnp.int32)) * 0
+    changed0 = jnp.any(valid) | True
+    _, keep, _ = jax.lax.while_loop(cond, body, (it0, valid, changed0))
     return keep
 
 

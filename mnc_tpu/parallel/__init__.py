@@ -1,0 +1,10 @@
+"""Device-mesh parallelism (replaces Caffe P2PSync, SURVEY.md §2.3)."""
+
+from mnc_tpu.parallel.mesh import (  # noqa: F401
+    data_parallel_eval_step,
+    data_parallel_train_step,
+    init_distributed,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

@@ -161,6 +161,10 @@ def proposal_targets(
     """
     all_rois = jnp.concatenate([rois, gt_boxes], axis=0)
     all_valid = jnp.concatenate([roi_valid, gt_valid], axis=0)
+    if all_rois.shape[0] < roi_batch:  # tiny configs: pad the pool itself
+        pad = roi_batch - all_rois.shape[0]
+        all_rois = jnp.concatenate([all_rois, jnp.zeros((pad, 4))], axis=0)
+        all_valid = jnp.concatenate([all_valid, jnp.zeros((pad,), bool)], axis=0)
 
     max_ov, arg, mboxes, mcls, fg = _assign(all_rois, gt_boxes, gt_classes, gt_valid,
                                             fg_thresh)
