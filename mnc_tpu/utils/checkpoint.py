@@ -1,0 +1,129 @@
+"""Checkpoint / resume — ≙ reference snapshot machinery.
+
+The reference saved ``.caffemodel`` (weights) + ``.solverstate`` (momentum,
+iter) from ``SolverWrapper.snapshot`` (lib/caffeWrapper/SolverWrapper.py),
+with one crucial subtlety: before saving, the ``bbox_pred`` layer weights were
+**un-normalized** (scaled by the bbox target stds and shifted by the means) so
+the exported model predicts raw deltas at test time, then restored for
+continued training (SURVEY.md §5.4).
+
+Here checkpoints are orbax: the full TrainState (params + momentum + step) is
+saved/restored losslessly, normalization constants ride along in metadata,
+and :func:`export_params` reproduces the reference's fold-the-stats-into-
+the-weights behavior for deployment-style export.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(directory: str, state, step: int | None = None,
+                    keep: int = 5) -> str:
+    """Save TrainState to <directory>/ckpt_<step>; prunes old checkpoints."""
+    step = int(state.step) if step is None else step
+    os.makedirs(directory, exist_ok=True)
+    path = osp.join(directory, f"ckpt_{step:08d}")
+    _ckptr().save(path, jax.device_get(state), force=True)
+    _prune(directory, keep)
+    return path
+
+
+def _prune(directory: str, keep: int):
+    import shutil
+
+    cks = sorted(d for d in os.listdir(directory) if d.startswith("ckpt_"))
+    for d in cks[:-keep]:
+        shutil.rmtree(osp.join(directory, d), ignore_errors=True)
+
+
+def latest_checkpoint(directory: str) -> str | None:
+    if not osp.isdir(directory):
+        return None
+    cks = sorted(d for d in os.listdir(directory) if d.startswith("ckpt_"))
+    return osp.join(directory, cks[-1]) if cks else None
+
+
+def restore_checkpoint(path: str, template):
+    """Restore into the structure of ``template`` (a TrainState/pytree)."""
+    restored = _ckptr().restore(path, item=jax.device_get(template))
+    return jax.tree.map(jnp.asarray, restored)
+
+
+def restore_latest(directory: str, template):
+    """Auto-resume-from-latest (the failure-recovery story, SURVEY.md §5.3)."""
+    path = latest_checkpoint(directory)
+    if path is None:
+        return template, 0
+    state = restore_checkpoint(path, template)
+    return state, int(state.step)
+
+
+# --------------------------------------------------------------------------- #
+# Export with bbox un-normalization (reference snapshot semantics)
+# --------------------------------------------------------------------------- #
+
+
+def export_params(params: Any, bbox_means, bbox_stds) -> Any:
+    """Fold bbox-target normalization into the bbox_pred fc weights.
+
+    After this, the classify head emits UN-normalized deltas, exactly like a
+    reference ``.caffemodel`` written by ``SolverWrapper.snapshot``; run the
+    model with ``stage_bridge(..., bbox_pred_normalized=False)`` semantics.
+    kernel' = kernel * stds (per output), bias' = bias * stds + means.
+    """
+    params = jax.device_get(params)
+    means = np.asarray(bbox_means, np.float32)
+    stds = np.asarray(bbox_stds, np.float32)
+
+    def fold(tree):
+        bb = tree["params"]["classify_head"]["bbox_pred"]
+        k, b = np.asarray(bb["kernel"]), np.asarray(bb["bias"])
+        n_out = k.shape[-1]
+        stds_full = np.tile(stds, n_out // 4)
+        means_full = np.tile(means, n_out // 4)
+        bb["kernel"] = k * stds_full[None, :]
+        bb["bias"] = b * stds_full + means_full
+        return tree
+
+    return fold(jax.tree.map(np.asarray, params))
+
+
+def save_npz(path: str, params: Any) -> None:
+    """Flat-name npz export (portable, ≙ .caffemodel role)."""
+    flat = {}
+
+    def walk(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    walk("", jax.device_get(params))
+    np.savez(path, **flat)
+
+
+def load_npz(path: str) -> dict:
+    """Inverse of save_npz: nested dict from flat names."""
+    out: dict = {}
+    with np.load(path) as data:
+        for name in data.files:
+            parts = name.split("/")
+            d = out
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = data[name]
+    return out

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Evaluate MNC — ≙ reference ``tools/test_net.py`` + TesterWrapper.
+
+Runs the full detection pipeline over an imdb, caches raw detections, and
+reports mAP^r @0.5/0.7 with the reference-style per-class AP table.
+
+    python tools/test_net.py --imdb synthetic_16 [--ckpt PATH] [--stages 5]
+        [--conf 0.0] [--cache out.pkl] [--cpu]
+"""
+
+import _init_paths  # noqa: F401
+import argparse
+import os
+import os.path as osp
+import pickle
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="Test MNC")
+    ap.add_argument("--imdb", default="synthetic_16")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--npz", default=None)
+    ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
+    ap.add_argument("--conf", type=float, default=0.0)
+    ap.add_argument("--cache", default=None, help="pickle path for raw detections")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--task", default="seg", choices=("seg",))
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mnc_tpu.config import cfg, cfg_from_file, cfg_from_list
+    from mnc_tpu.data.eval_sds import collect_detections, print_ap_table
+    from mnc_tpu.data.pascal_voc import get_imdb
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
+    from mnc_tpu.utils.timer import Timer
+
+    if args.cfg:
+        cfg_from_file(args.cfg)
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
+
+    imdb = get_imdb(args.imdb)
+    is_synth = args.imdb.startswith("synthetic")
+    arch_kw = dict(n_stages=args.stages)
+    if is_synth:
+        arch_kw.update(canvas=imdb.gen.canvas_hw, num_classes=imdb.num_classes,
+                       anchor_scales=(2, 4, 8), rpn_min_size=4.0)
+    arch = MNCArch.from_cfg(train=False, **arch_kw)
+    model = MNC(arch=arch)
+
+    img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
+    info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
+    params = model.init(jax.random.PRNGKey(0), img0, info0)
+    if args.npz:
+        from mnc_tpu.utils.checkpoint import load_npz
+
+        params = load_npz(args.npz)
+    elif args.ckpt:
+        from mnc_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+        path = args.ckpt
+        if osp.isdir(path) and not osp.basename(path).startswith("ckpt_"):
+            path = latest_checkpoint(path)
+        # checkpoints store TrainState; restore and take the params leaf
+        from mnc_tpu.train.loop import TrainState
+        from mnc_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(params)
+        state = restore_checkpoint(path, TrainState.create(params, tx))
+        params = state.params
+        print(f"loaded {path}")
+    else:
+        print("WARNING: random weights (plumbing smoke)")
+
+    pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=args.conf))
+
+    detections = []
+    timer = Timer()
+    if args.cache and osp.exists(args.cache):
+        with open(args.cache, "rb") as f:
+            detections = pickle.load(f)
+        print(f"loaded {len(detections)} cached detections from {args.cache}")
+    else:
+        for n, i in enumerate(imdb.image_index):
+            if is_synth:
+                ex = imdb.example(i)
+                canvas, info = ex["image"], ex["im_info"]
+                timer.tic()
+                out = jax.device_get(pipe.detect_canvas(
+                    jnp.asarray(canvas), jnp.asarray(info)))
+                timer.toc()
+                detections.extend(collect_detections(out, i, args.conf))
+            else:
+                import cv2
+
+                im = cv2.imread(imdb.image_path_at(n))
+                timer.tic()
+                out = pipe.detect(im)
+                timer.toc()
+                out["canvas_masks"] = out["full_masks"]
+                detections.extend(collect_detections(out, i, args.conf))
+            if (n + 1) % 50 == 0:
+                print(f"im_detect: {n + 1}/{imdb.num_images} "
+                      f"{timer.average_time:.3f}s/im")
+        if args.cache:
+            os.makedirs(osp.dirname(args.cache) or ".", exist_ok=True)
+            with open(args.cache, "wb") as f:
+                pickle.dump(detections, f)
+
+    results = imdb.evaluate(detections, iou_threshs=(0.5, 0.7))
+    for t, res in results.items():
+        print(print_ap_table(res, imdb.classes))
+    print(f"mAP^r@0.5 = {results[0.5]['map']:.4f}  "
+          f"mAP^r@0.7 = {results[0.7]['map']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
