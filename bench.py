@@ -14,12 +14,12 @@ vs_baseline is against the reference's ~2.8 img/s (≈360 ms/image, VGG-16
 
 Timing methodology: the remote (axon-tunnel) TPU platform neither blocks in
 ``block_until_ready`` nor transfers large arrays at useful speed, so the
-benchmark chains N pipeline invocations inside one jitted ``fori_loop`` — the
-carry (a scalar folded into the next iteration's input) both forces
-sequential execution and consumes EVERY output (preventing any stage from
-being dead-code-eliminated) — then fetches one scalar.  Steady-state step
-time = (t(N+1 iters) - t(1 iter)) / N.  This was validated against a
-known-FLOPs matmul loop (185 TFLOP/s measured vs ~197 peak bf16 on v5e).
+benchmark chains N asynchronous pipeline dispatches — each step's scalar
+carry (a full reduction over EVERY output, so nothing is dead-code-
+eliminated) is folded into the next step's input, forcing sequential device
+execution — then fetches one final scalar.  Steady-state step time =
+(t(N+1 steps) - t(1 step)) / N.  Validated against a known-FLOPs matmul
+chain (185 TFLOP/s measured vs ~197 peak bf16 on v5e).
 
 Flags: --batch N (default 8), --iters N (default 10), --stages {3,5},
 --no-paste, --no-merge, --cpu (debug).
@@ -64,7 +64,7 @@ def main():
 
     img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
     info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0], jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), img0, info0)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
 
     def run_one(params, image, im_info):
         out = model.apply(params, image, im_info)
@@ -79,24 +79,26 @@ def main():
     infos = jnp.tile(info0, (args.batch, 1))
 
     @jax.jit
-    def bench_loop(n, params, images, infos):
-        def body(i, carry):
-            # fold the carry into the input: forces sequential execution and
-            # defeats loop-invariant hoisting
-            imgs = images + carry * 1e-20
-            out = jax.vmap(run_one, in_axes=(None, 0, 0))(params, imgs, infos)
-            # consume EVERY output so nothing is dead-code-eliminated
-            s = sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(out))
-            return carry + s * 1e-9
-        return jax.lax.fori_loop(0, n, body, 0.0)
+    def step(params, images, infos, carry):
+        # fold the carry into the input: forces sequential execution across
+        # chained dispatches and defeats loop-invariant hoisting/caching
+        imgs = images + carry * 1e-20
+        out = jax.vmap(run_one, in_axes=(None, 0, 0))(params, imgs, infos)
+        # consume EVERY output so nothing is dead-code-eliminated
+        s = sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(out))
+        return carry + s * 1e-9
 
+    zero = jnp.zeros((), jnp.float32)
     t_compile = time.perf_counter()
-    float(jax.device_get(bench_loop(1, params, images, infos)))
+    float(jax.device_get(step(params, images, infos, zero)))
     compile_s = time.perf_counter() - t_compile
 
     def timed(n):
         t0 = time.perf_counter()
-        float(jax.device_get(bench_loop(n, params, images, infos)))
+        carry = zero
+        for _ in range(n):
+            carry = step(params, images, infos, carry)
+        float(jax.device_get(carry))
         return time.perf_counter() - t0
 
     timed(1)  # warm transfer path

@@ -5,9 +5,14 @@ detection, average the soft masks of ALL candidate detections whose box IoU
 with it is ≥ MASK_MERGE_IOU_THRESH, weighted by candidate score, with each
 candidate mask resampled from its own box frame into the kept box's frame.
 The reference ran this as a Cython/CUDA kernel on the host side of the
-pipeline; here it is a fixed-shape on-device computation (hat-matrix bilinear
-resampling per (kept, candidate) pair → two small matmuls) inside the same
+pipeline; here it is a fixed-shape on-device computation inside the same
 jitted program as the rest of the cascade.
+
+Memory layout note (TPU): a naive (kept × candidate) pairwise formulation
+materializes (N, K, M, M) hat-matrix temporaries whose tiny trailing dims
+(M=21) tile-pad ~7× — multi-GB at batch scale.  Instead the candidate axis is
+processed in chunks under ``lax.scan``, accumulating the weighted resample
+into a single (N, M, M) buffer; peak temp memory is O(N · chunk · M²).
 """
 
 from __future__ import annotations
@@ -19,24 +24,31 @@ from mnc_tpu.ops.bbox import bbox_overlaps
 from mnc_tpu.ops.roi_warp import interp_matrix
 
 
+def _frame_coords(dst_box, src_box, m: int):
+    """(M,) coords of dst-frame bin centers in the src mask's pixel space."""
+
+    def axis(axis_id):
+        lo_d = dst_box[1] if axis_id == 0 else dst_box[0]
+        hi_d = dst_box[3] if axis_id == 0 else dst_box[2]
+        lo_s = src_box[1] if axis_id == 0 else src_box[0]
+        hi_s = src_box[3] if axis_id == 0 else src_box[2]
+        span_d = hi_d - lo_d + 1.0
+        span_s = jnp.maximum(hi_s - lo_s + 1.0, 1.0)
+        grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+        img = lo_d + grid * span_d
+        return (img - lo_s) / span_s * m - 0.5
+
+    return axis(0), axis(1)
+
+
 def _resample_to_frame(mask: jnp.ndarray, src_box: jnp.ndarray, dst_box: jnp.ndarray):
     """Resample (M, M) mask living in src_box's frame onto dst_box's grid."""
     m = mask.shape[-1]
-
-    def coords(axis):
-        lo_d = dst_box[1] if axis == 0 else dst_box[0]
-        hi_d = dst_box[3] if axis == 0 else dst_box[2]
-        lo_s = src_box[1] if axis == 0 else src_box[0]
-        hi_s = src_box[3] if axis == 0 else src_box[2]
-        span_d = hi_d - lo_d + 1.0
-        span_s = jnp.maximum(hi_s - lo_s + 1.0, 1.0)
-        grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m  # dst bin centers
-        img = lo_d + grid * span_d  # image coords
-        return (img - lo_s) / span_s * m - 0.5  # src mask coords
-
-    wy = interp_matrix(coords(0)[None], m)[0]  # (M, M)
-    wx = interp_matrix(coords(1)[None], m)[0]
-    return jnp.einsum("ps,st,qt->pq", wy, mask.astype(jnp.float32), wx, precision="highest")
+    cy, cx = _frame_coords(dst_box, src_box, m)
+    wy = interp_matrix(cy[None], m)[0]  # (M, M)
+    wx = interp_matrix(cx[None], m)[0]
+    return jnp.einsum("ps,st,qt->pq", wy, mask.astype(jnp.float32), wx,
+                      precision="highest")
 
 
 def mask_voting(
@@ -46,6 +58,7 @@ def mask_voting(
     cand_masks: jnp.ndarray,
     cand_valid: jnp.ndarray,
     iou_thresh: float = 0.5,
+    chunk: int = 32,
 ) -> jnp.ndarray:
     """Score-weighted mask averaging over IoU-neighbors.
 
@@ -56,16 +69,42 @@ def mask_voting(
       cand_masks: (K, M, M) soft masks in their own box frames.
       cand_valid: (K,) bool padding mask.
       iou_thresh: neighbor threshold (reference MASK_MERGE_IOU_THRESH=0.5).
+      chunk: candidates processed per scan step (memory/latency knob).
 
     Returns (N, M, M) float32 merged soft masks in the kept boxes' frames.
     """
+    n = kept_boxes.shape[0]
+    k = cand_boxes.shape[0]
+    m = cand_masks.shape[-1]
+
     iou = bbox_overlaps(kept_boxes, cand_boxes)  # (N, K)
-    w = jnp.where((iou >= iou_thresh) & cand_valid[None, :], cand_scores[None, :], 0.0)
+    w = jnp.where((iou >= iou_thresh) & cand_valid[None, :],
+                  cand_scores.astype(jnp.float32), 0.0)
 
-    resample_j = jax.vmap(_resample_to_frame, in_axes=(0, 0, None))  # over candidates
-    resample_ij = jax.vmap(resample_j, in_axes=(None, None, 0))  # over kept
+    # pad K to a multiple of chunk (zero weight ⇒ no contribution)
+    pad = (-k) % chunk
+    if pad:
+        cand_boxes = jnp.concatenate(
+            [cand_boxes, jnp.ones((pad, 4), cand_boxes.dtype)], axis=0)
+        cand_masks = jnp.concatenate(
+            [cand_masks, jnp.zeros((pad, m, m), cand_masks.dtype)], axis=0)
+        w = jnp.concatenate([w, jnp.zeros((n, pad), w.dtype)], axis=1)
+    steps = (k + pad) // chunk
 
-    stacks = resample_ij(cand_masks, cand_boxes, kept_boxes)  # (N, K, M, M)
-    num = jnp.einsum("nk,nkpq->npq", w, stacks, precision="highest")
+    boxes_c = cand_boxes.reshape(steps, chunk, 4)
+    masks_c = cand_masks.reshape(steps, chunk, m, m)
+    w_c = jnp.moveaxis(w.reshape(n, steps, chunk), 1, 0)  # (steps, N, chunk)
+
+    resample_pair = jax.vmap(_resample_to_frame, in_axes=(0, 0, None))  # over chunk
+    resample_all = jax.vmap(resample_pair, in_axes=(None, None, 0))  # over kept
+
+    def body(acc, inp):
+        bc, mc, wc = inp
+        r = resample_all(mc, bc, kept_boxes)  # (N, chunk, M, M)
+        acc = acc + jnp.einsum("nc,ncpq->npq", wc, r, precision="highest")
+        return acc, None
+
+    acc0 = jnp.zeros((n, m, m), jnp.float32)
+    num, _ = jax.lax.scan(body, acc0, (boxes_c, masks_c, w_c))
     den = jnp.maximum(jnp.sum(w, axis=1), 1e-8)
     return num / den[:, None, None]

@@ -139,7 +139,11 @@ def paste_masks(
 
     wy = axis_weights(boxes[:, 1], boxes[:, 3], m, h)  # (N, H, M)
     wx = axis_weights(boxes[:, 0], boxes[:, 2], m, w)  # (N, W, M)
-    out = jnp.einsum("nhp,npq,nwq->nhw", wy, masks.astype(jnp.float32), wx, precision="highest")
+    # default matmul precision: mask values are in [0,1]; bf16 error (~4e-3)
+    # is far below any binarization threshold, and the (N, H, W) product is
+    # the single largest postprocess tensor — keep it cheap.
+    out = jnp.einsum("nhp,npq,nwq->nhw", wy, masks.astype(jnp.float32), wx)
     if binarize_thresh is not None:
-        out = (out > binarize_thresh).astype(jnp.float32)
+        # bool output: 4x less HBM traffic than f32 for the canvas stack
+        return out > binarize_thresh
     return out

@@ -59,7 +59,9 @@ def load_vgg16_torchvision(params: dict, state_dict=None, weights_path: str | No
     with mean-pixel subtracted (range ~[-128, 151]).  For y = W·(x_n) + b with
     x_n = ((x_rgb/255) - m)/s and x_bgr_ms = x_bgr - pixel_means:
         W' = W[:, ::-1] / (255·s),  b' = b + W·(pixel_means_rgb/255 - m)/s · 1
-    applied per input channel.
+    applied per input channel.  Exact on the interior; at the zero-padded
+    1-pixel border the two conventions pad with different effective
+    constants (negligible for detection).
     """
     import copy
 
