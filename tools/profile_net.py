@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Profiling / per-stage timing — ≙ ``caffe time`` (caffe-mnc/tools/caffe.cpp).
+
+Two modes:
+- ``--trace DIR``: capture a jax.profiler trace (TensorBoard/Perfetto) of the
+  full inference step.
+- default: per-component steady-state timing (trunk / rpn / proposals+nms /
+  warp+mask / classify / bridge+pass2 / postprocess) using the chained-
+  dispatch technique from bench.py (works on the remote-tunnel platform).
+"""
+
+import _init_paths  # noqa: F401
+import argparse
+import time
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, help="capture jax.profiler trace to DIR")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
+    ap.add_argument("--cpu", action="store_true")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mnc_tpu.models.mnc import MNC, MNCArch, propose_rois, stage_bridge
+    from mnc_tpu.pipeline.inference import PostCfg, postprocess_detections
+
+    arch = MNCArch.from_cfg(train=False, n_stages=args.stages)
+    post = PostCfg.from_cfg(dets_per_class=16)
+    model = MNC(arch=arch)
+    anchors = jnp.asarray(arch.all_anchors())
+
+    img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
+    info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(args.batch, *arch.canvas, 3).astype(np.float32) * 30)
+    infos = jnp.tile(info0, (args.batch, 1))
+
+    if args.trace:
+        fn = jax.jit(jax.vmap(lambda p, x, i: model.apply(p, x, i),
+                              in_axes=(None, 0, 0)))
+        out = fn(params, images, infos)
+        jax.block_until_ready(out)
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(fn(params, images, infos))
+        print(f"trace written to {args.trace}")
+        return
+
+    # ---- component pieces, each wrapped in the chained-carry technique ----
+    def piece(name, fn, *inputs):
+        @jax.jit
+        def step(carry, *ins):
+            perturbed = [ins[0] + carry * 1e-20] + list(ins[1:])
+            out = fn(*perturbed)
+            s = sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(out))
+            return carry + s * 1e-9
+
+        zero = jnp.zeros((), jnp.float32)
+        float(jax.device_get(step(zero, *inputs)))  # compile
+
+        def timed(n):
+            t0 = time.perf_counter()
+            c = zero
+            for _ in range(n):
+                c = step(c, *inputs)
+            float(jax.device_get(c))
+            return time.perf_counter() - t0
+
+        timed(1)
+        t1 = min(timed(1) for _ in range(2))
+        tn = min(timed(args.iters + 1) for _ in range(2))
+        ms = (tn - t1) / args.iters * 1e3 / args.batch
+        print(f"{name:28s} {ms:8.3f} ms/img")
+        return ms
+
+    vm = lambda f, n_in: jax.vmap(f, in_axes=(0,) * n_in)  # noqa: E731
+
+    feats = jax.jit(vm(lambda x: model.apply(params, x, method=MNC.features), 1))(images)
+    rpn_out = jax.jit(vm(lambda f: model.apply(params, f, method=MNC.rpn), 1))(feats)
+    rois, valid, _ = jax.jit(vm(
+        lambda c, b, i: propose_rois(c, b, i, anchors, arch), 3))(
+        rpn_out[0], rpn_out[1], infos)
+    roi_feat = jax.jit(vm(lambda f, r: model.apply(params, f, r, method=MNC.warp), 2))(
+        feats, rois)
+    mask_logits = jax.jit(vm(
+        lambda rf: model.apply(params, rf, method=MNC.mask_stage), 1))(roi_feat)
+    cls_bbox = jax.jit(vm(lambda rf, ml: model.apply(
+        params, rf, ml, method=MNC.classify_stage), 2))(roi_feat, mask_logits)
+
+    total = 0.0
+    total += piece("trunk (vgg16 conv)",
+                   vm(lambda x: model.apply(params, x, method=MNC.features), 1), images)
+    total += piece("rpn head", vm(lambda f: model.apply(params, f, method=MNC.rpn), 1),
+                   feats)
+    total += piece("proposals + nms",
+                   vm(lambda c, b, i: propose_rois(c, b, i, anchors, arch), 3),
+                   rpn_out[0], rpn_out[1], infos)
+    total += piece("roi_warp",
+                   vm(lambda f, r: model.apply(params, f, r, method=MNC.warp), 2),
+                   feats, rois)
+    total += piece("mask head",
+                   vm(lambda rf: model.apply(params, rf, method=MNC.mask_stage), 1),
+                   roi_feat)
+    total += piece("classify head (maskpool+fc)",
+                   vm(lambda rf, ml: model.apply(params, rf, ml,
+                                                 method=MNC.classify_stage), 2),
+                   roi_feat, mask_logits)
+    cls_prob = jax.nn.softmax(cls_bbox[0], axis=-1)
+    total += piece("stage bridge",
+                   vm(lambda r, c, b, i: stage_bridge(r, c, b, i, arch), 4),
+                   rois, cls_prob, cls_bbox[1], infos)
+    total += piece("postprocess (nms+vote+paste)",
+                   vm(lambda r, v, c, m: postprocess_detections(
+                       r, v, c, m, post, arch.canvas), 4),
+                   rois, valid, cls_prob, mask_logits)
+    print(f"{'sum of pieces (3-stage-ish)':28s} {total:8.3f} ms/img")
+
+
+if __name__ == "__main__":
+    main()
