@@ -62,6 +62,15 @@ class MNCArch:
     bbox_stds: tuple = (0.1, 0.1, 0.2, 0.2)
     roi_warp_impl: str = "einsum"
 
+    def __post_init__(self):
+        # clamp the static NMS working set to the actual anchor count
+        fh = self.canvas[0] // self.feat_stride
+        fw = self.canvas[1] // self.feat_stride
+        total = fh * fw * len(self.anchor_scales) * len(self.anchor_ratios)
+        pre = min(self.pre_nms_top_n, total)
+        object.__setattr__(self, "pre_nms_top_n", pre)
+        object.__setattr__(self, "post_nms_top_n", min(self.post_nms_top_n, pre))
+
     @classmethod
     def from_cfg(cls, train: bool = False, **overrides) -> "MNCArch":
         cfg = C.cfg
