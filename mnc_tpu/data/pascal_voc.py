@@ -216,6 +216,10 @@ def get_imdb(name: str) -> IMDB:
 
         n = int(name.split("_")[1]) if "_" in name else 64
         return SyntheticIMDB(num_images=n)
+    if name.startswith("coco_"):
+        from mnc_tpu.data.coco import COCOSeg
+
+        return COCOSeg(name.split("coco_", 1)[1])
     raise KeyError(f"unknown imdb {name!r}")
 
 

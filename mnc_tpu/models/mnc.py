@@ -246,19 +246,23 @@ class MNC(nn.Module):
     # ---- stage pieces (also used by the training loop) ----
 
     def features(self, image: jnp.ndarray) -> jnp.ndarray:
-        return self.trunk(image)
+        with jax.named_scope("trunk"):
+            return self.trunk(image)
 
     def rpn(self, feat: jnp.ndarray):
-        return self.rpn_head(feat)
+        with jax.named_scope("rpn_head"):
+            return self.rpn_head(feat)
 
     def warp(self, feat: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
         a = self.arch
-        return roi_warp(feat, rois, (a.warp_hw, a.warp_hw), a.spatial_scale,
-                        impl=a.roi_warp_impl)
+        with jax.named_scope("roi_warp"):
+            return roi_warp(feat, rois, (a.warp_hw, a.warp_hw), a.spatial_scale,
+                            impl=a.roi_warp_impl)
 
     def mask_stage(self, roi_feat: jnp.ndarray) -> jnp.ndarray:
         """Warped RoI features → mask logits (N, M, M)."""
-        return self.mask_head(roi_feat)
+        with jax.named_scope("mask_head"):
+            return self.mask_head(roi_feat)
 
     def classify_stage(self, roi_feat: jnp.ndarray, mask_logits: jnp.ndarray,
                        train: bool = False):
