@@ -5,8 +5,11 @@ Two modes:
 - ``--trace DIR``: capture a jax.profiler trace (TensorBoard/Perfetto) of the
   full inference step.
 - default: per-component steady-state timing (trunk / rpn / proposals+nms /
-  warp+mask / classify / bridge+pass2 / postprocess) using the chained-
-  dispatch technique from bench.py (works on the remote-tunnel platform).
+  warp / mask / classify / bridge / postprocess) using the chained-dispatch
+  technique from bench.py (works on the remote-tunnel platform).
+
+Params are passed explicitly to every jitted piece — closure capture would
+embed ~0.5 GB of weights as constants in the remote-compile request.
 """
 
 import _init_paths  # noqa: F401
@@ -58,23 +61,22 @@ def main():
         print(f"trace written to {args.trace}")
         return
 
-    # ---- component pieces, each wrapped in the chained-carry technique ----
-    def piece(name, fn, *inputs):
+    def piece(name, fn, p, *inputs):
         @jax.jit
-        def step(carry, *ins):
+        def step(carry, p, *ins):
             perturbed = [ins[0] + carry * 1e-20] + list(ins[1:])
-            out = fn(*perturbed)
+            out = fn(p, *perturbed)
             s = sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(out))
             return carry + s * 1e-9
 
         zero = jnp.zeros((), jnp.float32)
-        float(jax.device_get(step(zero, *inputs)))  # compile
+        float(jax.device_get(step(zero, p, *inputs)))  # compile
 
         def timed(n):
             t0 = time.perf_counter()
             c = zero
             for _ in range(n):
-                c = step(c, *inputs)
+                c = step(c, p, *inputs)
             float(jax.device_get(c))
             return time.perf_counter() - t0
 
@@ -82,49 +84,40 @@ def main():
         t1 = min(timed(1) for _ in range(2))
         tn = min(timed(args.iters + 1) for _ in range(2))
         ms = (tn - t1) / args.iters * 1e3 / args.batch
-        print(f"{name:28s} {ms:8.3f} ms/img")
+        print(f"{name:28s} {ms:8.3f} ms/img", flush=True)
         return ms
 
-    vm = lambda f, n_in: jax.vmap(f, in_axes=(0,) * n_in)  # noqa: E731
+    def vm(f):
+        return lambda p, *ins: jax.vmap(lambda *xs: f(p, *xs))(*ins)
 
-    feats = jax.jit(vm(lambda x: model.apply(params, x, method=MNC.features), 1))(images)
-    rpn_out = jax.jit(vm(lambda f: model.apply(params, f, method=MNC.rpn), 1))(feats)
-    rois, valid, _ = jax.jit(vm(
-        lambda c, b, i: propose_rois(c, b, i, anchors, arch), 3))(
-        rpn_out[0], rpn_out[1], infos)
-    roi_feat = jax.jit(vm(lambda f, r: model.apply(params, f, r, method=MNC.warp), 2))(
-        feats, rois)
-    mask_logits = jax.jit(vm(
-        lambda rf: model.apply(params, rf, method=MNC.mask_stage), 1))(roi_feat)
-    cls_bbox = jax.jit(vm(lambda rf, ml: model.apply(
-        params, rf, ml, method=MNC.classify_stage), 2))(roi_feat, mask_logits)
+    f_trunk = vm(lambda p, x: model.apply(p, x, method=MNC.features))
+    f_rpn = vm(lambda p, f: model.apply(p, f, method=MNC.rpn))
+    f_prop = vm(lambda p, c, b, i: propose_rois(c, b, i, anchors, arch))
+    f_warp = vm(lambda p, f, r: model.apply(p, f, r, method=MNC.warp))
+    f_mask = vm(lambda p, rf: model.apply(p, rf, method=MNC.mask_stage))
+    f_cls = vm(lambda p, rf, ml: model.apply(p, rf, ml, method=MNC.classify_stage))
+    f_bridge = vm(lambda p, r, c, b, i: stage_bridge(r, c, b, i, arch))
+    f_post = vm(lambda p, r, v, c, m: postprocess_detections(
+        r, v, c, m, post, arch.canvas))
+
+    feats = jax.jit(f_trunk)(params, images)
+    rpn_out = jax.jit(f_rpn)(params, feats)
+    rois, valid, _ = jax.jit(f_prop)(params, rpn_out[0], rpn_out[1], infos)
+    roi_feat = jax.jit(f_warp)(params, feats, rois)
+    mask_logits = jax.jit(f_mask)(params, roi_feat)
+    cls_bbox = jax.jit(f_cls)(params, roi_feat, mask_logits)
 
     total = 0.0
-    total += piece("trunk (vgg16 conv)",
-                   vm(lambda x: model.apply(params, x, method=MNC.features), 1), images)
-    total += piece("rpn head", vm(lambda f: model.apply(params, f, method=MNC.rpn), 1),
-                   feats)
-    total += piece("proposals + nms",
-                   vm(lambda c, b, i: propose_rois(c, b, i, anchors, arch), 3),
-                   rpn_out[0], rpn_out[1], infos)
-    total += piece("roi_warp",
-                   vm(lambda f, r: model.apply(params, f, r, method=MNC.warp), 2),
-                   feats, rois)
-    total += piece("mask head",
-                   vm(lambda rf: model.apply(params, rf, method=MNC.mask_stage), 1),
-                   roi_feat)
-    total += piece("classify head (maskpool+fc)",
-                   vm(lambda rf, ml: model.apply(params, rf, ml,
-                                                 method=MNC.classify_stage), 2),
-                   roi_feat, mask_logits)
+    total += piece("trunk (conv)", f_trunk, params, images)
+    total += piece("rpn head", f_rpn, params, feats)
+    total += piece("proposals + nms", f_prop, params, rpn_out[0], rpn_out[1], infos)
+    total += piece("roi_warp", f_warp, params, feats, rois)
+    total += piece("mask head", f_mask, params, roi_feat)
+    total += piece("classify head (maskpool+fc)", f_cls, params, roi_feat, mask_logits)
     cls_prob = jax.nn.softmax(cls_bbox[0], axis=-1)
-    total += piece("stage bridge",
-                   vm(lambda r, c, b, i: stage_bridge(r, c, b, i, arch), 4),
-                   rois, cls_prob, cls_bbox[1], infos)
-    total += piece("postprocess (nms+vote+paste)",
-                   vm(lambda r, v, c, m: postprocess_detections(
-                       r, v, c, m, post, arch.canvas), 4),
-                   rois, valid, cls_prob, mask_logits)
+    total += piece("stage bridge", f_bridge, params, rois, cls_prob, cls_bbox[1], infos)
+    total += piece("postprocess (nms+vote+paste)", f_post, params, rois, valid,
+                   cls_prob, mask_logits)
     print(f"{'sum of pieces (3-stage-ish)':28s} {total:8.3f} ms/img")
 
 
