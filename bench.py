@@ -66,12 +66,13 @@ def main():
     info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0], jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
 
-    def run_one(params, image, im_info):
-        out = model.apply(params, image, im_info)
-        return postprocess_detections(
-            out["rois"], out["roi_valid"], out["cls_prob"], out["mask_logits"],
-            post, arch.canvas,
-        )
+    from mnc_tpu.models.mnc import MNC as _MNC
+
+    def run_batch(params, images, im_infos):
+        out = model.apply(params, images, im_infos, method=_MNC.apply_batch)
+        return jax.vmap(
+            lambda r, v, c, m: postprocess_detections(r, v, c, m, post, arch.canvas)
+        )(out["rois"], out["roi_valid"], out["cls_prob"], out["mask_logits"])
 
     rs = np.random.RandomState(0)
     images = jnp.asarray(
@@ -83,7 +84,7 @@ def main():
         # fold the carry into the input: forces sequential execution across
         # chained dispatches and defeats loop-invariant hoisting/caching
         imgs = images + carry * 1e-20
-        out = jax.vmap(run_one, in_axes=(None, 0, 0))(params, imgs, infos)
+        out = run_batch(params, imgs, infos)
         # consume EVERY output so nothing is dead-code-eliminated
         s = sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(out))
         return carry + s * 1e-9

@@ -326,3 +326,56 @@ class MNC(nn.Module):
             "stage3_cls_prob": cls_prob,
             "stage3_mask_logits": mask_logits,
         }
+
+    # ---- batched test-time cascade (throughput path) ----
+
+    def apply_batch(self, images: jnp.ndarray, im_infos: jnp.ndarray) -> dict:
+        """Image-batched cascade: (B, H, W, 3) + (B, 3) → batched outputs.
+
+        Numerically identical to vmapping ``__call__`` per image, but the fc
+        heads run ONCE on the (B·N) flattened RoI set: under a per-image vmap
+        XLA re-streams the ~0.5 GB of fc weights from HBM for every image,
+        which dominates head time; flattening both amortizes the weight reads
+        and widens the matmuls onto full MXU tiles.
+        """
+        a = self.arch
+        b = images.shape[0]
+        n = a.post_nms_top_n
+        anchors = jnp.asarray(a.all_anchors())
+
+        feat = self.features(images)  # conv trunk is natively batched
+        rpn_cls, rpn_bbox = self.rpn(feat)
+        rois, roi_valid, _ = jax.vmap(
+            lambda c, bb, i: propose_rois(c, bb, i, anchors, a)
+        )(rpn_cls, rpn_bbox, im_infos)
+
+        def flat_heads(rois_b):
+            roi_feat = jax.vmap(self.warp)(feat, rois_b)  # (B, N, 14, 14, C)
+            roi_flat = roi_feat.reshape(b * n, *roi_feat.shape[2:])
+            mask_logits = self.mask_stage(roi_flat)
+            cls_logits, bbox_pred = self.classify_stage(roi_flat, mask_logits)
+            return (mask_logits.reshape(b, n, a.mask_size, a.mask_size),
+                    jax.nn.softmax(cls_logits, axis=-1).reshape(b, n, -1),
+                    bbox_pred.reshape(b, n, -1))
+
+        mask_logits, cls_prob, bbox_pred = flat_heads(rois)
+        out_rois, out_masks, out_prob = rois, mask_logits, cls_prob
+        if a.n_stages == 5:
+            rois2 = jax.vmap(lambda r, c, bb, i: stage_bridge(r, c, bb, i, a))(
+                rois, cls_prob, bbox_pred, im_infos)
+            mask_logits2, cls_prob2, bbox_pred2 = flat_heads(rois2)
+            out_rois = rois2
+            out_masks = mask_logits2
+            out_prob = 0.5 * (cls_prob + cls_prob2)
+            bbox_pred = bbox_pred2
+
+        return {
+            "rois": out_rois,
+            "roi_valid": roi_valid,
+            "cls_prob": out_prob,
+            "mask_logits": out_masks,
+            "bbox_pred": bbox_pred,
+            "stage3_rois": rois,
+            "stage3_cls_prob": cls_prob,
+            "stage3_mask_logits": mask_logits,
+        }

@@ -108,3 +108,37 @@ def mask_voting(
     num, _ = jax.lax.scan(body, acc0, (boxes_c, masks_c, w_c))
     den = jnp.maximum(jnp.sum(w, axis=1), 1e-8)
     return num / den[:, None, None]
+
+
+def mask_voting_per_det(
+    kept_boxes: jnp.ndarray,
+    cand_boxes: jnp.ndarray,
+    cand_scores: jnp.ndarray,
+    cand_masks: jnp.ndarray,
+    iou_thresh: float = 0.5,
+) -> jnp.ndarray:
+    """Voting with a PER-DETECTION candidate set (the post-top-K fast path).
+
+    Used after the cross-class top-K cut: each surviving detection brings its
+    own (pre-pruned, class-specific) candidate pool, so only final survivors
+    pay for resampling.
+
+    Args:
+      kept_boxes: (N, 4).
+      cand_boxes: (N, Cv, 4) candidates per kept det.
+      cand_scores: (N, Cv) — zero entries are ignored.
+      cand_masks: (N, Cv, M, M).
+
+    Returns (N, M, M) merged soft masks.
+    """
+    iou = jax.vmap(lambda kb, cb: bbox_overlaps(kb[None], cb)[0])(
+        kept_boxes, cand_boxes)  # (N, Cv)
+    w = jnp.where(iou >= iou_thresh, cand_scores.astype(jnp.float32), 0.0)
+
+    resample = jax.vmap(  # over kept dets
+        jax.vmap(_resample_to_frame, in_axes=(0, 0, None)),  # over candidates
+        in_axes=(0, 0, 0))
+    stacks = resample(cand_masks, cand_boxes, kept_boxes)  # (N, Cv, M, M)
+    num = jnp.einsum("nc,ncpq->npq", w, stacks, precision="highest")
+    den = jnp.maximum(jnp.sum(w, axis=1), 1e-8)
+    return num / den[:, None, None]

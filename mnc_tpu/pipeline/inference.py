@@ -20,7 +20,7 @@ import numpy as np
 from mnc_tpu.config import cfg
 from mnc_tpu.models.mnc import MNC, MNCArch
 from mnc_tpu.ops.masks import paste_masks
-from mnc_tpu.ops.mask_voting import mask_voting
+from mnc_tpu.ops.mask_voting import mask_voting, mask_voting_per_det
 from mnc_tpu.ops.nms import nms_indices
 from mnc_tpu.utils.blob import prep_im_for_blob
 
@@ -76,39 +76,42 @@ def postprocess_detections(
         ok = roi_valid & (scores_c > post.score_thresh)
         idx, keep = nms_indices(rois, scores_c, ok, post.nms_thresh,
                                 post.dets_per_class)
-        kept_boxes = rois[idx]
         kept_scores = jnp.where(keep, scores_c[idx], 0.0)
-        if post.use_mask_merge:
-            kv = min(post.vote_top_k, n)
-            cand_scores = jnp.where(ok, scores_c, 0.0)
-            _, cand_idx = jax.lax.top_k(cand_scores, kv)
-            kept_masks = mask_voting(
-                kept_boxes, rois[cand_idx], cand_scores[cand_idx],
-                soft_masks[cand_idx], ok[cand_idx], post.mask_merge_iou,
-                chunk=min(32, kv),
-            )
-        else:
-            kept_masks = soft_masks[idx]
-        return kept_boxes, kept_scores, kept_masks, keep
+        return idx, kept_scores, keep
 
     # vmap over foreground classes (class 0 = background skipped)
     fg_scores = cls_prob[:, 1:].T  # (C-1, N)
-    boxes_c, scores_c, masks_c, keep_c = jax.vmap(per_class)(fg_scores)
+    idx_c, scores_c, keep_c = jax.vmap(per_class)(fg_scores)
 
     d = post.dets_per_class
-    flat_boxes = boxes_c.reshape((c - 1) * d, 4)
+    flat_idx = idx_c.reshape((c - 1) * d)
     flat_scores = scores_c.reshape((c - 1) * d)
-    flat_masks = masks_c.reshape((c - 1) * d, *masks_c.shape[-2:])
     flat_valid = keep_c.reshape((c - 1) * d)
     flat_cls = jnp.repeat(jnp.arange(1, c, dtype=jnp.int32), d)
 
     k = min(post.max_per_image, (c - 1) * d)
     top_scores, top_idx = jax.lax.top_k(jnp.where(flat_valid, flat_scores, -1.0), k)
+    roi_idx = flat_idx[top_idx]  # original roi of each surviving detection
+    det_boxes = rois[roi_idx]
+    det_classes = flat_cls[top_idx]
+
+    if post.use_mask_merge:
+        # Vote only the K cross-class survivors, each against the top
+        # vote_top_k candidates of ITS class (score-weighted IoU neighbors).
+        kv = min(post.vote_top_k, n)
+        det_cand_scores = jnp.where(
+            roi_valid[None, :], cls_prob.T[det_classes], 0.0)  # (K, N)
+        cs, ci = jax.lax.top_k(det_cand_scores, kv)  # (K, kv)
+        det_masks = mask_voting_per_det(
+            det_boxes, rois[ci], cs, soft_masks[ci], post.mask_merge_iou)
+    else:
+        det_masks = soft_masks[roi_idx]
+
     out = {
-        "boxes": flat_boxes[top_idx],
+        "boxes": det_boxes,
         "scores": top_scores,
-        "classes": flat_cls[top_idx],
-        "masks": flat_masks[top_idx],
+        "classes": det_classes,
+        "masks": det_masks,
         "valid": top_scores > 0.0,
     }
     if post.paste and canvas_hw is not None:
@@ -146,10 +149,26 @@ class MNCPipeline:
             return dets
 
         self._run = _run
-        self._run_batch = jax.jit(jax.vmap(_run, in_axes=(None, 0, 0)))
+
+        @jax.jit
+        def _run_batch(params, images, im_infos):
+            # batched cascade (fc heads amortized over B·N RoIs), then
+            # per-image postprocess
+            net_out = model.apply(params, images, im_infos, method=MNC.apply_batch)
+            return jax.vmap(
+                lambda r, v, c, m: postprocess_detections(
+                    r, v, c, m, self.post, self.arch.canvas)
+            )(net_out["rois"], net_out["roi_valid"], net_out["cls_prob"],
+              net_out["mask_logits"])
+
+        self._run_batch = _run_batch
 
     def detect_canvas(self, canvas: jnp.ndarray, im_info: jnp.ndarray) -> dict:
         return self._run(self.params, canvas, im_info)
+
+    def detect_canvas_batch(self, canvases: jnp.ndarray, im_infos: jnp.ndarray) -> dict:
+        """Batched throughput path: (B, H, W, 3) + (B, 3) → batched dets."""
+        return self._run_batch(self.params, canvases, im_infos)
 
     def detect(self, bgr_image: np.ndarray) -> dict:
         """Full host API: BGR uint8 image → original-resolution detections.

@@ -116,3 +116,16 @@ def test_three_stage_variant(model_and_params):
     params = model.init(jax.random.PRNGKey(0), img, im_info)
     out = model.apply(params, img, im_info)
     assert out["mask_logits"].shape == (arch3.post_nms_top_n, 9, 9)
+
+
+def test_apply_batch_matches_per_image(model_and_params):
+    """The batched cascade (flattened heads) must equal vmapped __call__."""
+    model, params = model_and_params
+    rs = np.random.RandomState(1)
+    imgs = jnp.asarray(rs.randn(2, *TINY.canvas, 3).astype(np.float32))
+    infos = jnp.asarray(np.tile([64.0, 96.0, 1.0], (2, 1)).astype(np.float32))
+    a = jax.vmap(lambda im, ii: model.apply(params, im, ii))(imgs, infos)
+    b = model.apply(params, imgs, infos, method=MNC.apply_batch)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
