@@ -77,11 +77,14 @@ def _warp_einsum(features: jnp.ndarray, rois: jnp.ndarray, out_hw, spatial_scale
     xc = bin_centers(rois, pw, spatial_scale, axis=1)
     wy = interp_matrix(yc, h)  # (N, PH, H)
     wx = interp_matrix(xc, w)  # (N, PW, W)
-    f = features.astype(jnp.float32)
     # (N, PH, H) @ (H, W*C) -> (N, PH, W, C): one big matmul on the MXU.
-    tmp = jnp.einsum("nph,hwc->npwc", wy, f, preferred_element_type=jnp.float32)
+    # The intermediate stays in the feature dtype (bf16 on the TPU path) —
+    # it is the largest tensor here and otherwise doubles HBM traffic.
+    tmp = jnp.einsum("nph,hwc->npwc", wy.astype(features.dtype), features,
+                     preferred_element_type=jnp.float32).astype(features.dtype)
     # (N, PW, W) x (N, PH, W, C) -> (N, PH, PW, C): batched matmul.
-    out = jnp.einsum("nqw,npwc->npqc", wx, tmp, preferred_element_type=jnp.float32)
+    out = jnp.einsum("nqw,npwc->npqc", wx.astype(features.dtype), tmp,
+                     preferred_element_type=jnp.float32)
     return out.astype(features.dtype)
 
 
