@@ -34,6 +34,7 @@ def save_checkpoint(directory: str, state, step: int | None = None,
                     keep: int = 5) -> str:
     """Save TrainState to <directory>/ckpt_<step>; prunes old checkpoints."""
     step = int(state.step) if step is None else step
+    directory = osp.abspath(directory)  # orbax requires absolute paths
     os.makedirs(directory, exist_ok=True)
     path = osp.join(directory, f"ckpt_{step:08d}")
     _ckptr().save(path, jax.device_get(state), force=True)
@@ -50,6 +51,7 @@ def _prune(directory: str, keep: int):
 
 
 def latest_checkpoint(directory: str) -> str | None:
+    directory = osp.abspath(directory)
     if not osp.isdir(directory):
         return None
     cks = sorted(d for d in os.listdir(directory) if d.startswith("ckpt_"))
@@ -58,7 +60,7 @@ def latest_checkpoint(directory: str) -> str | None:
 
 def restore_checkpoint(path: str, template):
     """Restore into the structure of ``template`` (a TrainState/pytree)."""
-    restored = _ckptr().restore(path, item=jax.device_get(template))
+    restored = _ckptr().restore(osp.abspath(path), item=jax.device_get(template))
     return jax.tree.map(jnp.asarray, restored)
 
 
