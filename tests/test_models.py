@@ -129,3 +129,18 @@ def test_apply_batch_matches_per_image(model_and_params):
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_dual_pathway_head():
+    """NET.DUAL_PATHWAY concatenates masked + box pathways before fc6."""
+    arch = MNCArch(**{**TINY.__dict__, "dual_pathway": True})
+    model = MNC(arch=arch)
+    img = jnp.zeros((*arch.canvas, 3), jnp.float32)
+    im_info = jnp.array([64.0, 96.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, im_info)
+    out = model.apply(params, img, im_info)
+    assert out["cls_prob"].shape == (arch.post_nms_top_n, arch.num_classes)
+    # fc6 kernel sees twice the single-pathway input width
+    k = params["params"]["classify_head"]["fc6"]["kernel"]
+    single = (arch.warp_hw // 2) ** 2 * 512
+    assert k.shape[0] == 2 * single

@@ -82,3 +82,21 @@ def test_nms_chain_suppression():
     )
     keep = np.asarray(nms_fixed(boxes, np.ones(3, bool), 0.3))
     np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_nms_wrapper_host_api(rng):
+    """Reference lib/nms/nms_wrapper.py API: (N,5) dets -> kept indices."""
+    from mnc_tpu.ops.nms_wrapper import apply_nms, nms
+
+    boxes = random_boxes(rng, 60)
+    scores = rng.uniform(size=60).astype(np.float32)
+    dets = np.concatenate([boxes, scores[:, None]], axis=1)
+    keep = nms(dets, 0.5)
+    want = greedy_nms_oracle(boxes, scores, 0.5)
+    np.testing.assert_array_equal(np.sort(keep), np.sort(want))
+    # kept in descending score order
+    assert np.all(np.diff(scores[keep]) <= 1e-6)
+
+    all_boxes = [[dets, np.zeros((0, 5), np.float32)]]
+    out = apply_nms(all_boxes, 0.5)
+    assert len(out[0][0]) == len(keep)
