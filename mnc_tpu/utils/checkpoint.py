@@ -42,11 +42,17 @@ def save_checkpoint(directory: str, state, step: int | None = None,
     return path
 
 
+def _is_complete(directory: str, name: str) -> bool:
+    return name.startswith("ckpt_") and not name.endswith("-tmp")
+
+
 def _prune(directory: str, keep: int):
     import shutil
 
-    cks = sorted(d for d in os.listdir(directory) if d.startswith("ckpt_"))
-    for d in cks[:-keep]:
+    names = os.listdir(directory)
+    cks = sorted(d for d in names if _is_complete(directory, d))
+    stale = [d for d in names if d.startswith("ckpt_") and d.endswith("-tmp")]
+    for d in cks[:-keep] + stale:
         shutil.rmtree(osp.join(directory, d), ignore_errors=True)
 
 
@@ -54,7 +60,7 @@ def latest_checkpoint(directory: str) -> str | None:
     directory = osp.abspath(directory)
     if not osp.isdir(directory):
         return None
-    cks = sorted(d for d in os.listdir(directory) if d.startswith("ckpt_"))
+    cks = sorted(d for d in os.listdir(directory) if _is_complete(directory, d))
     return osp.join(directory, cks[-1]) if cks else None
 
 

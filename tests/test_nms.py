@@ -100,3 +100,18 @@ def test_nms_wrapper_host_api(rng):
     all_boxes = [[dets, np.zeros((0, 5), np.float32)]]
     out = apply_nms(all_boxes, 0.5)
     assert len(out[0][0]) == len(keep)
+
+
+def test_pallas_nms_matches_fixed(rng):
+    """The Pallas NMS kernel (interpret on CPU) matches the fixpoint NMS."""
+    from mnc_tpu.ops.pallas.nms_kernel import nms_pallas
+
+    n = 64
+    boxes = random_boxes(rng, n)
+    scores = rng.uniform(size=n).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    sb = boxes[order]
+    valid = np.ones(n, bool)
+    a = np.asarray(nms_fixed(sb, valid, 0.5))
+    b = np.asarray(nms_pallas(sb, valid, 0.5))
+    np.testing.assert_array_equal(a, b)
