@@ -149,6 +149,8 @@ __C.TRAIN.GAMMA = 0.1
 __C.TRAIN.STEPSIZE = 20000
 __C.TRAIN.MAX_ITERS = 25000
 __C.TRAIN.ITER_SIZE = 1  # gradient accumulation (solver iter_size)
+# Caffe solver clip_gradients (global-norm clip); <= 0 disables.
+__C.TRAIN.CLIP_GRADIENTS = -1.0
 __C.TRAIN.MIX_INDEX = True  # ⚠ reference flag for 5-stage roi mixing
 
 # ---- testing ----

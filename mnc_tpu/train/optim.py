@@ -45,9 +45,13 @@ def make_optimizer(
     stepsize: int = 20000,
     iter_size: int = 1,
     caffe_bias_rules: bool = True,
+    clip_gradients: float = -1.0,
 ) -> optax.GradientTransformation:
     schedule = step_lr(base_lr, gamma, stepsize)
     chain = []
+    if clip_gradients and clip_gradients > 0:
+        # Caffe solver clip_gradients: scale grads when global norm exceeds it
+        chain.append(optax.clip_by_global_norm(clip_gradients))
     if weight_decay:
         mask = bias_mask(params, False) if caffe_bias_rules else None
         chain.append(optax.add_decayed_weights(weight_decay, mask=mask))

@@ -104,6 +104,7 @@ def main():
         gamma=cfg.TRAIN.GAMMA,
         stepsize=cfg.TRAIN.STEPSIZE,
         iter_size=cfg.TRAIN.ITER_SIZE,
+        clip_gradients=cfg.TRAIN.CLIP_GRADIENTS,
     )
     schedule = step_lr(cfg.TRAIN.LEARNING_RATE, cfg.TRAIN.GAMMA, cfg.TRAIN.STEPSIZE)
 
