@@ -20,7 +20,6 @@ else numpy.
 
 from __future__ import annotations
 
-from collections import defaultdict
 
 import numpy as np
 

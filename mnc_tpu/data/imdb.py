@@ -9,7 +9,6 @@ masks.
 
 from __future__ import annotations
 
-import numpy as np
 
 
 class IMDB:

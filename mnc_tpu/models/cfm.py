@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mnc_tpu.models.mnc import MNC, MNCArch, stage_bridge
+from mnc_tpu.models.mnc import MNC, stage_bridge
 
 
 def cfm_apply(

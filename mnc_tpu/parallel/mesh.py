@@ -15,7 +15,7 @@ call sites (SURVEY.md §2.3: "design leaves mesh axis room").
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ Everything after host image decode/resize executes in ONE XLA program.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import jax

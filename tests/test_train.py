@@ -148,3 +148,36 @@ def test_train_step_batched_images(model_params):
     batch = {k: jnp.asarray(v) for k, v in DATA.batch([0, 1]).items()}
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_optimizer_caffe_rules():
+    """Bias params: 2x lr, no weight decay; kernels: decay applied."""
+    import optax
+
+    from mnc_tpu.train.optim import make_optimizer, step_lr
+
+    params = {"layer": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}}
+    tx = make_optimizer(params, base_lr=1.0, momentum=0.0, weight_decay=0.5,
+                        gamma=0.1, stepsize=100)
+    state = tx.init(params)
+    grads = {"layer": {"kernel": jnp.full((4, 4), 0.1), "bias": jnp.full((4,), 0.1)}}
+    updates, _ = tx.update(grads, state, params)
+    # kernel: -(0.1 + 0.5*1.0) ; bias: -(0.1*2)
+    np.testing.assert_allclose(np.asarray(updates["layer"]["kernel"]), -0.6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["layer"]["bias"]), -0.2, rtol=1e-6)
+    # step schedule decays by gamma at stepsize
+    s = step_lr(1.0, 0.1, 100)
+    assert float(s(0)) == 1.0 and abs(float(s(100)) - 0.1) < 1e-6
+
+
+def test_optimizer_clip_gradients():
+    from mnc_tpu.train.optim import make_optimizer
+
+    params = {"w": {"kernel": jnp.zeros((3,))}}
+    tx = make_optimizer(params, base_lr=1.0, momentum=0.0, weight_decay=0.0,
+                        clip_gradients=1.0)
+    state = tx.init(params)
+    grads = {"w": {"kernel": jnp.array([30.0, 40.0, 0.0])}}  # norm 50
+    updates, _ = tx.update(grads, state, params)
+    got = -np.asarray(updates["w"]["kernel"])
+    np.testing.assert_allclose(np.linalg.norm(got), 1.0, rtol=1e-5)
