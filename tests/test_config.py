@@ -1,0 +1,69 @@
+"""Config system: YAML merge, --set overrides, validation."""
+
+import numpy as np
+import pytest
+
+from mnc_tpu.config import AttrDict, cfg, cfg_from_file, cfg_from_list, get_output_dir
+
+
+@pytest.fixture(autouse=True)
+def restore_cfg():
+    saved = cfg.clone()
+    yield
+    cfg.clear()
+    cfg.update(saved)
+
+
+def test_yaml_merge(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text("""
+TRAIN:
+  RPN_NMS_THRESH: 0.65
+  SCALES: [500]
+NET:
+  N_STAGES: 3
+MASK_SIZE: 28
+""")
+    cfg_from_file(str(p))
+    assert cfg.TRAIN.RPN_NMS_THRESH == 0.65
+    assert cfg.TRAIN.SCALES == (500,)
+    assert cfg.NET.N_STAGES == 3
+    assert cfg.MASK_SIZE == 28
+
+
+def test_yaml_rejects_unknown_key(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text("TRAIN:\n  NOT_A_KEY: 1\n")
+    with pytest.raises(KeyError):
+        cfg_from_file(str(p))
+
+
+def test_cfg_from_list():
+    cfg_from_list(["TRAIN.LEARNING_RATE", "0.01", "TEST.NMS", "0.4",
+                   "NET.TRUNK", "resnet101"])
+    assert cfg.TRAIN.LEARNING_RATE == 0.01
+    assert cfg.TEST.NMS == 0.4
+    assert cfg.NET.TRUNK == "resnet101"
+
+
+def test_type_coercion_errors():
+    with pytest.raises(ValueError):
+        cfg_from_list(["TRAIN.LEARNING_RATE", "not_a_number"])
+
+
+def test_get_output_dir(tmp_path, monkeypatch):
+    monkeypatch.setitem(cfg, "ROOT_DIR", str(tmp_path))
+    d = get_output_dir("voc_2012_seg_val", "mnc_5stage")
+    assert d.endswith("output/default/voc_2012_seg_val/mnc_5stage")
+    import os.path as osp
+
+    assert osp.isdir(d)
+
+
+def test_attrdict_clone_independent():
+    a = AttrDict()
+    a.X = AttrDict()
+    a.X.Y = 1
+    b = a.clone()
+    b.X.Y = 2
+    assert a.X.Y == 1

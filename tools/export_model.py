@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint to deployment params (npz).
+
+≙ the deployment half of the reference snapshot flow: folds the bbox-target
+normalization stats into the bbox_pred weights (SolverWrapper.snapshot
+semantics) so the exported model emits raw deltas, and writes a flat npz
+(the ``.caffemodel`` role).
+
+    python tools/export_model.py --ckpt output/run1 --out model.npz \
+        [--no-unnormalize]
+"""
+
+import _init_paths  # noqa: F401
+import argparse
+import os.path as osp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="checkpoint dir or path")
+    ap.add_argument("--out", required=True, help="output .npz")
+    ap.add_argument("--no-unnormalize", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mnc_tpu.config import cfg
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.train.loop import TrainState
+    from mnc_tpu.train.optim import make_optimizer
+    from mnc_tpu.utils.checkpoint import (
+        export_params,
+        latest_checkpoint,
+        restore_checkpoint,
+        save_npz,
+    )
+
+    arch = MNCArch.from_cfg(train=False)
+    model = MNC(arch=arch)
+    img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
+    info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
+    params = model.init(jax.random.PRNGKey(0), img0, info0)
+
+    path = args.ckpt
+    if osp.isdir(path) and not osp.basename(path).startswith("ckpt_"):
+        path = latest_checkpoint(path)
+        assert path, f"no checkpoint under {args.ckpt}"
+    tx = make_optimizer(params)
+    state = restore_checkpoint(path, TrainState.create(params, tx))
+    out = state.params
+    if not args.no_unnormalize:
+        out = export_params(out, cfg.TRAIN.BBOX_NORMALIZE_MEANS,
+                            cfg.TRAIN.BBOX_NORMALIZE_STDS)
+        print("folded bbox normalization stats into bbox_pred")
+    save_npz(args.out, out)
+    print(f"exported {path} → {args.out}")
+
+
+if __name__ == "__main__":
+    main()
