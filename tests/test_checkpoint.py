@@ -88,3 +88,69 @@ def test_npz_roundtrip(tmp_path):
     loaded = ck.load_npz(path)
     for x, y in zip(jax.tree.leaves(state.params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_reproduces_training(tmp_path):
+    """Crash-resume equivalence: save at step k, continue vs restore-continue
+    with identical keys → identical parameters (the failure-recovery story)."""
+    import jax
+
+    from mnc_tpu.data.synthetic import SyntheticShapes
+    from mnc_tpu.train.loop import make_train_step
+
+    arch = ARCH
+    model, state = _mk_state()
+    tx = make_optimizer(state.params)
+    state = ck.restore_latest(str(tmp_path), TrainState.create(state.params, tx))[0]
+    train_cfg = dict(RPN_POSITIVE_OVERLAP=0.7, RPN_NEGATIVE_OVERLAP=0.3,
+                     RPN_BATCHSIZE=32, RPN_FG_FRACTION=0.5, BATCH_SIZE=16,
+                     FG_FRACTION=0.25, FG_THRESH=0.5, BG_THRESH_HI=0.5,
+                     BG_THRESH_LO=0.0)
+    data = SyntheticShapes(canvas_hw=arch.canvas, num_classes=arch.num_classes,
+                           max_gt=4, gt_mask_size=16, n_range=(1, 2), seed=4)
+    step = make_train_step(model, tx, arch, train_cfg, donate=False)
+
+    def batch(i):
+        return {k: jnp.asarray(v) for k, v in data.example(i).items()}
+
+    keys = [jax.random.PRNGKey(i) for i in range(5)]
+    for i in range(3):
+        state, _ = step(state, batch(i), keys[i])
+    path = ck.save_checkpoint(str(tmp_path), state)
+
+    cont = state
+    for i in range(3, 5):
+        cont, _ = step(cont, batch(i), keys[i])
+
+    restored = ck.restore_checkpoint(path, TrainState.create(state.params, tx))
+    for i in range(3, 5):
+        restored, _ = step(restored, batch(i), keys[i])
+
+    for a, b in zip(jax.tree.leaves(cont.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_is_deterministic():
+    """Same seed + data → bitwise-identical metrics (jit purity; the TPU
+    answer to the reference era's nondeterminism)."""
+    import jax
+
+    from mnc_tpu.data.synthetic import SyntheticShapes
+    from mnc_tpu.train.loop import make_train_step
+
+    model, state = _mk_state()
+    tx = make_optimizer(state.params)
+    train_cfg = dict(RPN_POSITIVE_OVERLAP=0.7, RPN_NEGATIVE_OVERLAP=0.3,
+                     RPN_BATCHSIZE=32, RPN_FG_FRACTION=0.5, BATCH_SIZE=16,
+                     FG_FRACTION=0.25, FG_THRESH=0.5, BG_THRESH_HI=0.5,
+                     BG_THRESH_LO=0.0)
+    data = SyntheticShapes(canvas_hw=ARCH.canvas, num_classes=ARCH.num_classes,
+                           max_gt=4, gt_mask_size=16, n_range=(1, 2), seed=4)
+    step = make_train_step(model, tx, ARCH, train_cfg, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in data.example(0).items()}
+
+    s1 = TrainState.create(state.params, tx)
+    _, m1 = step(s1, batch, jax.random.PRNGKey(9))
+    s2 = TrainState.create(state.params, tx)
+    _, m2 = step(s2, batch, jax.random.PRNGKey(9))
+    assert float(m1["total"]) == float(m2["total"])
