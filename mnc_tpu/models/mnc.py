@@ -61,6 +61,11 @@ class MNCArch:
     bbox_means: tuple = (0.0, 0.0, 0.0, 0.0)
     bbox_stds: tuple = (0.1, 0.1, 0.2, 0.2)
     roi_warp_impl: str = "einsum"
+    # Trunk blocks/stages with stopped gradients.  The reference froze
+    # conv1-conv2 (lr_mult 0) because they were ImageNet-PRETRAINED; when
+    # training from random init set 0 — freezing random filters starves the
+    # network of low-level features.
+    trunk_frozen: int = 2
 
     def __post_init__(self):
         # clamp the static NMS working set to the actual anchor count
@@ -229,9 +234,12 @@ class MNC(nn.Module):
     def setup(self):
         a = self.arch
         if a.trunk == "vgg16":
-            self.trunk = VGG16Trunk(compute_dtype=a.compute_dtype)
+            self.trunk = VGG16Trunk(compute_dtype=a.compute_dtype,
+                                    frozen_blocks=a.trunk_frozen)
         elif a.trunk.startswith("resnet"):
-            self.trunk = ResNetTrunk(depth=int(a.trunk[6:]), compute_dtype=a.compute_dtype)
+            self.trunk = ResNetTrunk(depth=int(a.trunk[6:]),
+                                     compute_dtype=a.compute_dtype,
+                                     frozen_stages=a.trunk_frozen)
         else:
             raise ValueError(f"unknown trunk {a.trunk!r}")
         self.rpn_head = RPNHead(num_anchors=a.num_anchors, compute_dtype=a.compute_dtype)

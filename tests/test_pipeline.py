@@ -82,3 +82,46 @@ def test_detect_host_api(pipeline):
     b = out["boxes"][out["valid"]]
     if len(b):
         assert (b[:, 2] <= 100).all() and (b[:, 3] <= 70).all()
+
+
+def test_oracle_outputs_give_perfect_map():
+    """Feed postprocess ground-truth-perfect network outputs → mAP^r = 1.0.
+
+    Validates the whole detect→paste→evaluate chain independently of model
+    quality (the debugging separator between 'pipeline broken' and 'model
+    undertrained')."""
+    from mnc_tpu.data.eval_sds import collect_detections, eval_sds
+    from mnc_tpu.data.synth_imdb import SyntheticIMDB
+    from mnc_tpu.ops.masks import crop_resize_from_canvas
+
+    imdb = SyntheticIMDB(canvas_hw=(96, 128), num_classes=4, max_gt=4,
+                         num_images=3, seed=5)
+    n, c, m = 16, 4, 13
+    post = PostCfg(dets_per_class=4, max_per_image=8, vote_top_k=8,
+                   use_mask_merge=True, paste=True)
+    dets = []
+    for i in imdb.image_index:
+        ex = imdb.example(i)
+        g = int(ex["gt_valid"].sum())
+        full = imdb.gen.full_masks(i)  # (g, H, W)
+        rois = np.tile(ex["gt_boxes"][:1], (n, 1)).astype(np.float32)
+        rois[:g] = ex["gt_boxes"][:g]
+        valid = np.zeros(n, bool)
+        valid[:g] = True
+        prob = np.zeros((n, c), np.float32)
+        prob[:, 0] = 1.0
+        prob[np.arange(g), 0] = 0.0
+        prob[np.arange(g), ex["gt_classes"][:g]] = 1.0
+        # mask logits: resample full gt mask into the roi frame, ±8 logits
+        roi_masks = np.asarray(crop_resize_from_canvas(
+            jnp.asarray(full), jnp.asarray(rois[:g]), m))
+        logits = np.full((n, m, m), -8.0, np.float32)
+        logits[:g] = np.where(roi_masks > 0.5, 8.0, -8.0)
+        out = jax.device_get(postprocess_detections(
+            jnp.asarray(rois), jnp.asarray(valid), jnp.asarray(prob),
+            jnp.asarray(logits), post, (96, 128)))
+        dets.extend(collect_detections(out, i, 0.1))
+    res = eval_sds(dets, imdb.gt_instances(), imdb.num_classes, 0.5)
+    assert res["map"] > 0.95, res
+    res7 = eval_sds(dets, imdb.gt_instances(), imdb.num_classes, 0.7)
+    assert res7["map"] > 0.9, res7

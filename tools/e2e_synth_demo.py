@@ -41,7 +41,8 @@ def main():
     arch = MNCArch(
         canvas=(96, 128), anchor_scales=(2, 4, 8), num_classes=4, mask_size=13,
         warp_hw=6, n_stages=5, compute_dtype=jnp.float32, fc_dim=256,
-        mask_fc_dim=64, pre_nms_top_n=192, post_nms_top_n=48, rpn_min_size=4.0,
+        mask_fc_dim=256, pre_nms_top_n=192, post_nms_top_n=48, rpn_min_size=4.0,
+        trunk_frozen=0,  # training from scratch — do not freeze random filters
     )
     train_cfg = dict(
         RPN_POSITIVE_OVERLAP=0.6, RPN_NEGATIVE_OVERLAP=0.3, RPN_BATCHSIZE=128,
@@ -86,6 +87,14 @@ def main():
         out = jax.device_get(pipe.detect_canvas(jnp.asarray(ex["image"]),
                                                 jnp.asarray(ex["im_info"])))
         dets.extend(collect_detections(out, i, score_thresh=0.05))
+        if i == val.image_index[0]:
+            v = out["valid"]
+            print("diag img0: n_det=", int(v.sum()),
+                  " top scores=", np.round(out["scores"][:5], 3).tolist(),
+                  " classes=", out["classes"][:5].tolist(),
+                  " gt classes=", ex["gt_classes"][ex["gt_valid"]].tolist(),
+                  " mask px=", [int(m.sum()) for m in out["canvas_masks"][:3]],
+                  flush=True)
     gt = val.gt_instances()
     r5 = eval_sds(dets, gt, val.num_classes, 0.5)
     r7 = eval_sds(dets, gt, val.num_classes, 0.7)
