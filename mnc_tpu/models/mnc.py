@@ -122,6 +122,20 @@ class MNCArch:
         return shifted_anchors(fh, fw, self.feat_stride, self.anchor_ratios,
                                self.anchor_scales)
 
+    def anchor_inside_fraction(self) -> float:
+        """Fraction of anchors fully inside the canvas.
+
+        Outside anchors are never trained by AnchorTargetLayer semantics
+        (label −1) yet still scored by the proposal layer at test time; if
+        most anchors are outside (anchor scales too large for the canvas),
+        untrained scores dominate the top-K and proposals degrade.  Keep
+        this ≳ 0.3 — tools/train_net.py warns otherwise.
+        """
+        a = self.all_anchors()
+        h, w = self.canvas
+        inside = (a[:, 0] >= 0) & (a[:, 1] >= 0) & (a[:, 2] < w) & (a[:, 3] < h)
+        return float(inside.mean())
+
 
 # --------------------------------------------------------------------------- #
 # ProposalLayer — on-device (≙ lib/pylayer/proposal_layer.py)

@@ -39,7 +39,7 @@ def main():
     from mnc_tpu.train.optim import make_optimizer
 
     arch = MNCArch(
-        canvas=(96, 128), anchor_scales=(2, 4, 8), num_classes=4, mask_size=13,
+        canvas=(96, 128), anchor_scales=(1, 2, 4), num_classes=4, mask_size=13,
         warp_hw=6, n_stages=5, compute_dtype=jnp.float32, fc_dim=256,
         mask_fc_dim=256, pre_nms_top_n=192, post_nms_top_n=48, rpn_min_size=4.0,
         trunk_frozen=0,  # training from scratch — do not freeze random filters
@@ -77,6 +77,19 @@ def main():
                   f"mask={float(m['s23_mask']):.3f} cls={float(m['s23_cls']):.3f}",
                   flush=True)
     print(f"trained {args.iters} iters in {time.time() - t0:.0f}s", flush=True)
+    import numpy as _np
+    from mnc_tpu.utils.checkpoint import save_npz
+    save_npz("output/e2e_params.npz", jax.device_get(state.params))
+
+    # network-level diagnostics on one val image
+    ex = val.example(val.image_index[0])
+    net = jax.jit(lambda p, im, ii: model.apply(p, im, ii))(
+        jax.device_get(state.params), jnp.asarray(ex["image"]), jnp.asarray(ex["im_info"]))
+    net = jax.device_get(net)
+    print("netdiag: roi_valid=", int(net["roi_valid"].sum()),
+          " cls_prob max per class=", _np.round(net["cls_prob"].max(0), 3).tolist(),
+          " bg prob mean=", round(float(net["cls_prob"][:, 0].mean()), 3),
+          " rois[:3]=", _np.round(net["rois"][:3], 1).tolist(), flush=True)
 
     pipe = MNCPipeline(model, jax.device_get(state.params),
                        PostCfg(dets_per_class=8, max_per_image=12, vote_top_k=24,

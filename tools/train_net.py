@@ -67,6 +67,11 @@ def main():
         arch_kw = dict(canvas=canvas, num_classes=num_classes,
                        anchor_scales=(2, 4, 8), rpn_min_size=4.0)
     arch = MNCArch.from_cfg(train=True, **arch_kw)
+    frac = arch.anchor_inside_fraction()
+    if frac < 0.3:
+        print(f"WARNING: only {frac:.0%} of anchors fit the canvas "
+              f"{arch.canvas} — shrink NET.ANCHOR_SCALES or proposals will "
+              f"be dominated by untrained out-of-image anchors at test time")
     model = MNC(arch=arch)
 
     train_cfg = dict(
