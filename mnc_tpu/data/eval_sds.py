@@ -67,6 +67,8 @@ def eval_sds(
 
     Returns {"ap": {class_id: AP}, "map": float, "thresh": iou_thresh}.
     """
+    from mnc_tpu import native
+
     ap = {}
     for cls in range(1, num_classes):
         dets_c = [d for d in detections if d["class_id"] == cls]
@@ -82,17 +84,32 @@ def eval_sds(
             continue
         claimed = {img: np.zeros(len(v), bool) for img, v in gts_c.items()}
 
+        # Precompute det×gt mask-IoU matrices per image in one native
+        # (popcount) call each — the evaluator hot loop.
+        by_img: dict = {}
+        for i, det in enumerate(dets_c):
+            by_img.setdefault(det["image_id"], []).append(i)
+        iou_of: dict = {}
+        for img, det_ids in by_img.items():
+            gts = gts_c.get(img, [])
+            if not gts:
+                continue
+            dmasks = np.stack([dets_c[i]["mask"] for i in det_ids])
+            gmasks = np.stack([g["mask"] for g in gts])
+            mat = native.mask_iou_matrix(dmasks, gmasks)
+            for row, i in enumerate(det_ids):
+                iou_of[i] = mat[row]
+
         tp = np.zeros(len(dets_c))
         fp = np.zeros(len(dets_c))
         for i, det in enumerate(dets_c):
             img = det["image_id"]
-            cands = gts_c.get(img, [])
-            best_iou, best_j = 0.0, -1
-            for j, g in enumerate(cands):
-                iou = mask_iou(det["mask"], g["mask"])
-                if iou > best_iou:
-                    best_iou, best_j = iou, j
-            if best_iou >= iou_thresh and not claimed[img][best_j]:
+            ious = iou_of.get(i)
+            if ious is None or ious.size == 0:
+                fp[i] = 1
+                continue
+            best_j = int(np.argmax(ious))
+            if ious[best_j] >= iou_thresh and not claimed[img][best_j]:
                 tp[i] = 1
                 claimed[img][best_j] = True
             else:
