@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--no-paste", action="store_true")
     ap.add_argument("--no-merge", action="store_true")
+    ap.add_argument("--trunk", default=None, choices=(None, "vgg16", "resnet50", "resnet101"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -54,7 +55,10 @@ def main():
     from mnc_tpu.models.mnc import MNC, MNCArch
     from mnc_tpu.pipeline.inference import PostCfg, postprocess_detections
 
-    arch = MNCArch.from_cfg(train=False, n_stages=args.stages)
+    over = dict(n_stages=args.stages)
+    if args.trunk:
+        over["trunk"] = args.trunk
+    arch = MNCArch.from_cfg(train=False, **over)
     post = PostCfg.from_cfg(
         dets_per_class=16,
         paste=not args.no_paste,

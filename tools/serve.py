@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Minimal serving loop: image paths in (stdin or args), JSON detections out.
+
+The reference family had no serving story (single-shot scripts only —
+SURVEY.md §1 note); this provides the production-shaped entry point: a warm
+jitted pipeline, one line of JSON per image with boxes/classes/scores and
+RLE-compressed masks (decode with ``mnc_tpu.native.rle_decode``).
+
+    python tools/serve.py --ckpt output/run1 [--conf 0.7] [img1.jpg ...]
+    # or stream paths on stdin, one per line
+"""
+
+import _init_paths  # noqa: F401
+import argparse
+import json
+import sys
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("images", nargs="*")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--npz", default=None)
+    ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
+    ap.add_argument("--conf", type=float, default=0.7)
+    ap.add_argument("--cpu", action="store_true")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mnc_tpu import native
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
+
+    arch = MNCArch.from_cfg(train=False, n_stages=args.stages)
+    model = MNC(arch=arch)
+    img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
+    info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
+    if args.npz:
+        from mnc_tpu.utils.checkpoint import load_npz
+
+        params = load_npz(args.npz)
+    elif args.ckpt:
+        from mnc_tpu.train.loop import TrainState
+        from mnc_tpu.train.optim import make_optimizer
+        from mnc_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+        import os.path as osp
+
+        path = args.ckpt
+        if osp.isdir(path) and not osp.basename(path).startswith("ckpt_"):
+            path = latest_checkpoint(path)
+        tx = make_optimizer(params)
+        params = restore_checkpoint(path, TrainState.create(params, tx)).params
+
+    pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=0.0))
+
+    import cv2
+
+    def handle(path: str):
+        im = cv2.imread(path.strip())
+        if im is None:
+            print(json.dumps({"image": path, "error": "unreadable"}), flush=True)
+            return
+        dets = pipe.detect(im)
+        instances = []
+        for k in range(len(dets["scores"])):
+            if not dets["valid"][k] or dets["scores"][k] < args.conf:
+                continue
+            rle = native.rle_encode(dets["full_masks"][k])
+            instances.append({
+                "box": [round(float(v), 1) for v in dets["boxes"][k]],
+                "class_id": int(dets["classes"][k]),
+                "score": round(float(dets["scores"][k]), 4),
+                "mask_rle": {"size": list(rle["size"]),
+                             "counts": rle["counts"].tolist()},
+            })
+        print(json.dumps({"image": path, "instances": instances}), flush=True)
+
+    sources = args.images if args.images else sys.stdin
+    for line in sources:
+        handle(line)
+
+
+if __name__ == "__main__":
+    main()
