@@ -125,3 +125,17 @@ def test_oracle_outputs_give_perfect_map():
     assert res["map"] > 0.95, res
     res7 = eval_sds(dets, imdb.gt_instances(), imdb.num_classes, 0.7)
     assert res7["map"] > 0.9, res7
+
+
+def test_detect_canvas_batch_matches_single(pipeline):
+    """Batched throughput path ≡ per-image path (same detections)."""
+    rs = np.random.RandomState(3)
+    imgs = jnp.asarray(rs.randn(2, *ARCH.canvas, 3).astype(np.float32) * 20)
+    infos = jnp.asarray(np.tile([96.0, 128.0, 1.0], (2, 1)).astype(np.float32))
+    batched = jax.device_get(pipeline.detect_canvas_batch(imgs, infos))
+    for b in range(2):
+        single = jax.device_get(pipeline.detect_canvas(imgs[b], infos[b]))
+        for k in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_allclose(
+                np.asarray(batched[k][b]), np.asarray(single[k]),
+                rtol=2e-3, atol=2e-3, err_msg=k)
