@@ -76,8 +76,6 @@ def make_example(
     gt_valid[:g] = True
     src_masks = mask_entry["masks"][:g]
     if src_masks.shape[-1] != gt_mask_size:
-        from mnc_tpu.data.synthetic import SyntheticShapes  # noqa: F401  (doc xref)
-
         s = gt_mask_size
         ys = np.clip(((np.arange(s) + 0.5) * src_masks.shape[1] / s).astype(int),
                      0, src_masks.shape[1] - 1)
@@ -136,11 +134,12 @@ class TrainLoader:
     def _make(self, i: int, flipped: bool) -> dict:
         entry, masks = self.roidb[i], self.maskdb[i]
         if flipped:
-            width = self.canvas_hw[1] if self.synthetic else None
+            width = self.canvas_hw[1] if self.synthetic else entry.get("width")
             if width is None:
                 import cv2
 
                 width = cv2.imread(self.imdb.image_path_at(i)).shape[1]
+                entry["width"] = width  # cache for subsequent epochs
             entry, masks = IMDB.flip_entry(dict(entry, flipped=False), masks, width)
             entry["flipped"] = True
         return make_example(self.imdb, entry, masks, i, self.max_gt,

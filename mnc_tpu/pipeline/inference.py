@@ -19,7 +19,7 @@ import numpy as np
 from mnc_tpu.config import cfg
 from mnc_tpu.models.mnc import MNC, MNCArch
 from mnc_tpu.ops.masks import paste_masks
-from mnc_tpu.ops.mask_voting import mask_voting, mask_voting_per_det
+from mnc_tpu.ops.mask_voting import mask_voting_per_det
 from mnc_tpu.ops.nms import nms_indices
 from mnc_tpu.utils.blob import prep_im_for_blob
 
