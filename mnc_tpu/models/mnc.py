@@ -122,6 +122,24 @@ class MNCArch:
         return shifted_anchors(fh, fw, self.feat_stride, self.anchor_ratios,
                                self.anchor_scales)
 
+    def trainable_anchor_mask(self) -> np.ndarray:
+        """(K,) bool — False for anchors whose TYPE has zero fully-inside
+        positions on this canvas.
+
+        AnchorTargetLayer semantics only train anchors fully inside the
+        image, per RPN output channel (= anchor type); a type with no inside
+        position anywhere gets pure-noise scores at test time (e.g. the
+        352×704 ratio-2/scale-32 anchor on a 640-high canvas — also true of
+        the reference at 600px, which simply tolerated the noise).  The
+        proposal layer zeroes these out.
+        """
+        a = self.all_anchors()
+        h, w = self.canvas
+        na = self.num_anchors
+        inside = (a[:, 0] >= 0) & (a[:, 1] >= 0) & (a[:, 2] < w) & (a[:, 3] < h)
+        type_trainable = inside.reshape(-1, na).any(axis=0)  # (A,)
+        return np.tile(type_trainable, a.shape[0] // na)
+
     def anchor_inside_fraction(self) -> float:
         """Fraction of anchors fully inside the canvas.
 
@@ -179,6 +197,8 @@ def propose_rois(
     ws = boxes[:, 2] - boxes[:, 0] + 1.0
     hs = boxes[:, 3] - boxes[:, 1] + 1.0
     valid = (ws >= min_size) & (hs >= min_size)
+    # drop anchor types that can never receive training signal on this canvas
+    valid = valid & jnp.asarray(arch.trainable_anchor_mask())
 
     # top-K pre-NMS working set
     neg_inf = jnp.finfo(jnp.float32).min
