@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
+    ap.add_argument("--canvas", type=int, nargs=2, default=None,
+                    help="override canvas (smoke-testing on CPU)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -37,7 +39,12 @@ def main():
     from mnc_tpu.train.loop import TrainState, make_train_step
     from mnc_tpu.train.optim import make_optimizer
 
-    arch = MNCArch.from_cfg(train=True, n_stages=args.stages)
+    over = dict(n_stages=args.stages)
+    if args.canvas:
+        over.update(canvas=tuple(args.canvas), anchor_scales=(2, 4, 8),
+                    rpn_min_size=4.0, num_classes=4, fc_dim=64, mask_fc_dim=32,
+                    mask_size=9, warp_hw=4)
+    arch = MNCArch.from_cfg(train=True, **over)
     model = MNC(arch=arch)
     train_cfg = {k: cfg.TRAIN[k] for k in (
         "RPN_POSITIVE_OVERLAP", "RPN_NEGATIVE_OVERLAP", "RPN_BATCHSIZE",
@@ -45,8 +52,8 @@ def main():
         "BG_THRESH_HI", "BG_THRESH_LO")}
 
     data = SyntheticShapes(canvas_hw=arch.canvas, num_classes=arch.num_classes,
-                           max_gt=int(cfg.STATIC.MAX_GT), gt_mask_size=28,
-                           n_range=(2, 6), seed=0)
+                           max_gt=min(int(cfg.STATIC.MAX_GT), 8), gt_mask_size=28,
+                           n_range=(2, 5), seed=0)
     if args.batch == 1:
         batch = {k: jnp.asarray(v) for k, v in data.example(0).items()}
     else:
