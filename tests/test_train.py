@@ -181,3 +181,29 @@ def test_optimizer_clip_gradients():
     updates, _ = tx.update(grads, state, params)
     got = -np.asarray(updates["w"]["kernel"])
     np.testing.assert_allclose(np.linalg.norm(got), 1.0, rtol=1e-5)
+
+
+def test_remat_trunk_matches_plain():
+    """remat_trunk changes memory, not math: identical loss & grads."""
+    arch_a = ARCH
+    arch_b = MNCArch(**{**ARCH.__dict__, "remat_trunk": True})
+    batch = _jnp_batch(DATA.example(2))
+    anchors = jnp.asarray(ARCH.all_anchors())
+
+    def run(arch):
+        model = MNC(arch=arch)
+        params = model.init(jax.random.PRNGKey(0), batch["image"],
+                            batch["im_info"])
+        total, _ = mnc_loss(params, model, batch, jax.random.PRNGKey(1), arch,
+                            anchors, TRAIN_CFG)
+        g = jax.grad(lambda p: mnc_loss(p, model, batch, jax.random.PRNGKey(1),
+                                        arch, anchors, TRAIN_CFG)[0])(params)
+        return float(total), g
+
+    ta, ga = run(arch_a)
+    tb, gb = run(arch_b)
+    np.testing.assert_allclose(ta, tb, rtol=1e-5)
+    la, lb = jax.tree.leaves(ga), jax.tree.leaves(gb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
+                                   atol=1e-5)
