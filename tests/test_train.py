@@ -207,3 +207,22 @@ def test_remat_trunk_matches_plain():
     for x, y in zip(la, lb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_train_step_with_empty_gt():
+    """An image with zero instances must train (pure-background step)."""
+    model = MNC(arch=ARCH)
+    ex = DATA.example(0)
+    ex = {k: np.array(v) for k, v in ex.items()}
+    ex["gt_valid"][:] = False
+    ex["gt_boxes"][:] = 0
+    ex["gt_classes"][:] = 0
+    ex["gt_masks"][:] = 0
+    batch = _jnp_batch(ex)
+    params = model.init(jax.random.PRNGKey(0), batch["image"], batch["im_info"])
+    tx = make_optimizer(params)
+    step = make_train_step(model, tx, ARCH, TRAIN_CFG, donate=False)
+    state = TrainState.create(params, tx)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    assert float(metrics["s23_mask"]) == 0.0  # no fg → no mask loss
