@@ -23,6 +23,7 @@ def vis_seg(image_bgr: np.ndarray, dets: dict, class_names=None,
     """
     out = image_bgr.astype(np.float32).copy()
     n = len(dets["scores"])
+    labels = []
     for i in range(n):
         if not dets["valid"][i] or dets["scores"][i] < score_thresh:
             continue
@@ -36,12 +37,15 @@ def vis_seg(image_bgr: np.ndarray, dets: dict, class_names=None,
         y2 = min(y2, out.shape[0] - 1)
         out[y1:y2 + 1, [x1, x2]] = color
         out[[y1, y2], x1:x2 + 1] = color
-        try:
-            import cv2
+        name = class_names[cls] if class_names else str(cls)
+        labels.append((f"{name} {dets['scores'][i]:.2f}", (x1, max(y1 - 4, 10)),
+                       color.tolist()))
+    img8 = np.clip(out, 0, 255).astype(np.uint8)
+    try:
+        import cv2
 
-            name = class_names[cls] if class_names else str(cls)
-            cv2.putText(out, f"{name} {dets['scores'][i]:.2f}", (x1, max(y1 - 4, 10)),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color.tolist(), 1)
-        except ImportError:
-            pass
-    return np.clip(out, 0, 255).astype(np.uint8)
+        for text, org, color in labels:  # putText needs uint8
+            cv2.putText(img8, text, org, cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+    except ImportError:
+        pass
+    return img8
