@@ -16,7 +16,9 @@ import numpy as np
 
 _DIR = osp.dirname(osp.abspath(__file__))
 _SRC = osp.join(_DIR, "mnc_native.cpp")
-_SO = osp.join(_DIR, "libmnc_native.so")
+_BUILD = osp.join(_DIR, "build")
+_SO = osp.join(_BUILD, "libmnc_native.so")  # under build/ so pkgutil doesn't
+# mistake the ctypes library for a Python extension module
 
 _lib = None
 _tried = False
@@ -24,6 +26,7 @@ _tried = False
 
 def _build() -> bool:
     try:
+        os.makedirs(_BUILD, exist_ok=True)
         if (not osp.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
