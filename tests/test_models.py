@@ -144,3 +144,36 @@ def test_dual_pathway_head():
     k = params["params"]["classify_head"]["fc6"]["kernel"]
     single = (arch.warp_hw // 2) ** 2 * 512
     assert k.shape[0] == 2 * single
+
+
+def test_trainable_anchor_mask_suppresses_untrained_types():
+    """Anchor types with zero inside positions never appear in proposals."""
+    # 64x96 canvas with scale-8 anchors: the 128+px anchors can't fit
+    arch = MNCArch(**{**TINY.__dict__, "anchor_scales": (1, 2, 8)})
+    mask = arch.trainable_anchor_mask()
+    a = arch.all_anchors()
+    na = arch.num_anchors
+    h, w = arch.canvas
+    inside_any = ((a[:, 0] >= 0) & (a[:, 1] >= 0) & (a[:, 2] < w) & (a[:, 3] < h))
+    per_type = inside_any.reshape(-1, na).any(0)
+    assert not per_type.all()  # some types really are untrainable here
+    # mask repeats the per-type pattern over all positions
+    np.testing.assert_array_equal(mask.reshape(-1, na)[0], per_type)
+    np.testing.assert_array_equal(mask.reshape(-1, na)[-1], per_type)
+
+    # proposals from uniform scores never select suppressed types
+    fh, fw = arch.feat_hw
+    cls = np.zeros((fh, fw, 2 * na), np.float32)
+    bbox = np.zeros((fh, fw, 4 * na), np.float32)
+    anchors = jnp.asarray(arch.all_anchors())
+    rois, valid, _ = propose_rois(jnp.asarray(cls), jnp.asarray(bbox),
+                                  jnp.array([64.0, 96.0, 1.0]), anchors, arch)
+    # every valid roi must match a clipped TRAINABLE anchor
+    av = np.array(jnp.clip(anchors, 0.0))
+    av[:, 2] = np.minimum(av[:, 2], 95.0)
+    av[:, 3] = np.minimum(av[:, 3], 63.0)
+    rois = np.asarray(rois)[np.asarray(valid)]
+    for r in rois:
+        match = np.all(np.abs(av - r) < 1e-3, axis=1)
+        assert match.any()
+        assert mask[match].all()
