@@ -38,20 +38,30 @@ import numpy as np
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CACHE.json")
 
 
+def _fallback_record(why: str) -> dict:
+    """A record for when no fresh device measurement could be taken.
+
+    Deliberately uses a DISTINCT metric name (``..._cached`` / ``..._failed``)
+    so downstream consumers can never mistake a stale/absent number for a
+    fresh one (BENCH_CACHE.json is machine-local and untracked)."""
+    try:
+        with open(_CACHE) as f:
+            rec = json.load(f)
+        rec["metric"] = rec.get("metric", "five_stage_inference_img_per_sec") + "_cached"
+        rec["note"] = f"{why}; cached prior same-machine measurement"
+    except Exception:
+        rec = {"metric": "five_stage_inference_img_per_sec_failed", "value": 0.0,
+               "unit": "img/s", "vs_baseline": 0.0,
+               "note": f"{why}; no cached measurement"}
+    return rec
+
+
 def _watchdog(seconds: float):
     """The tunneled TPU can wedge (stale device grant) and hang every call;
     rather than stalling the driver, emit the last good measurement, marked."""
 
     def fire():
-        try:
-            with open(_CACHE) as f:
-                rec = json.load(f)
-            rec["note"] = "device unavailable/wedged; cached prior measurement"
-        except Exception:
-            rec = {"metric": "five_stage_inference_img_per_sec", "value": 0.0,
-                   "unit": "img/s", "vs_baseline": 0.0,
-                   "note": "device unavailable and no cached measurement"}
-        print(json.dumps(rec), flush=True)
+        print(json.dumps(_fallback_record("device hang (watchdog fired)")), flush=True)
         os._exit(0)
 
     t = threading.Timer(seconds, fire)
@@ -61,6 +71,22 @@ def _watchdog(seconds: float):
 
 
 def main():
+    """Never lets an exception escape: the driver must always get one JSON
+    line and rc=0, fresh if the device works, clearly-marked fallback if not
+    (round-1 lesson: a backend-init RuntimeError escaped -> rc=1, no output)."""
+    try:
+        _bench()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 - deliberate catch-all
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps(_fallback_record(f"bench raised {type(e).__name__}: {e}")),
+              flush=True)
+
+
+def _bench():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
