@@ -77,26 +77,35 @@ def data_parallel_train_step(model, tx, arch, train_cfg, mesh: Mesh,
 
     anchors = jnp.asarray(arch.all_anchors())
 
-    def local_loss(params, batch, key):
-        b = batch["image"].shape[0]
-        keys = jax.random.split(key, b)
+    n_shards = mesh.shape[axis]
+
+    def local_loss(params, batch, keys):
         totals, metrics = jax.vmap(
             lambda bt, k: mnc_loss(params, model, bt, k, arch, anchors, train_cfg)
         )(batch, keys)
-        return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
+        # scaled so the GLOBAL loss is the mean over the global batch: shard_map
+        # autodiff inserts a psum on the cotangent of the replicated params
+        # (transpose of broadcast), so grads of sum_shards(local_mean/n) are
+        # exactly the global-mean gradient — no explicit grad collective.
+        return jnp.mean(totals) / n_shards, jax.tree.map(jnp.mean, metrics)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(axis), P()), out_specs=(P(), P()),
     )
     def sharded_step(state, batch, key):
-        # fold the shard id into the RNG so images on different chips sample
-        # independent targets
+        # derive per-image keys by GLOBAL image index — split over the global
+        # batch, then slice this shard's range — so 8-chip DP and single-
+        # device vmap sample identical targets per image (exact grad-equality
+        # with make_train_step is asserted in test_parallel.py)
+        b = batch["image"].shape[0]
+        all_keys = jax.random.split(key, b * n_shards)
         shard = jax.lax.axis_index(axis)
-        key = jax.random.fold_in(key, shard)
+        keys = jax.lax.dynamic_slice_in_dim(all_keys, shard * b, b, axis=0)
         (_, metrics), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            state.params, batch, key)
-        grads = jax.lax.pmean(grads, axis)
+            state.params, batch, keys)
+        # grads are already globally reduced (see local_loss); only the
+        # device-varying metrics need an explicit mean.
         metrics = jax.lax.pmean(metrics, axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
