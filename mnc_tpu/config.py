@@ -63,7 +63,7 @@ __C.ROOT_DIR = osp.abspath(osp.join(osp.dirname(__file__), ".."))
 __C.DATA_DIR = osp.join(__C.ROOT_DIR, "data")
 __C.EXP_DIR = "default"
 __C.USE_GPU_NMS = True  # kept for YAML compat; on TPU, NMS is always on-device
-__C.GPU_ID = 0
+__C.GPU_ID = 0  # YAML compat; device selection is JAX's (ignored on TPU)
 # Mask resolution of the mask regression target/output.  The reference code used
 # 21 while the paper quotes 28 (SURVEY.md §2.1 "MASK_SIZE — verify").
 __C.MASK_SIZE = 21
@@ -88,8 +88,6 @@ __C.STATIC.TRAIN_PRE_NMS_TOP_N = 2048
 __C.STATIC.TRAIN_POST_NMS_TOP_N = 512
 __C.STATIC.TEST_PRE_NMS_TOP_N = 1024
 __C.STATIC.TEST_POST_NMS_TOP_N = 304  # padded 300 (multiple of 8 sublanes)
-# Per-image RoI training batch (fg+bg), fixed shape.
-__C.STATIC.ROI_BATCH = 128
 # Max ground-truth instances per image (padded).
 __C.STATIC.MAX_GT = 32
 
@@ -100,15 +98,20 @@ __C.NET.NUM_CLASSES = 21  # VOC: 20 + background
 __C.NET.ANCHOR_SCALES = (8, 16, 32)
 __C.NET.ANCHOR_RATIOS = (0.5, 1.0, 2.0)
 __C.NET.WARP_HW = 14  # RoI-warp output resolution (roi_warping_layer pooled_h/w)
-__C.NET.POOLED_HW = 7  # after 2x2 max pool, input to fc6
+# fc6 input resolution after the classify head's max pool; None → WARP_HW // 2
+# (= the reference's 7 at WARP_HW 14).  Must divide WARP_HW when set.
+__C.NET.POOLED_HW = None
 __C.NET.FC_DIM = 4096
 __C.NET.MASK_FC_DIM = 256
 __C.NET.N_STAGES = 5  # 3 or 5
-__C.NET.SPATIAL_SCALE = 1.0 / 16.0
 # Compute dtype for conv trunk / heads ("bfloat16" rides the MXU at 2x).
 __C.NET.COMPUTE_DTYPE = "bfloat16"
 # Dual-pathway classification head (mask-pooled + box features concatenated).
 __C.NET.DUAL_PATHWAY = False
+# Zero proposals from anchor types with no trainable (fully-inside) position
+# on the canvas.  Set False when running imported/foreign weights — the
+# reference ProposalLayer scores all anchors (DESIGN.md §8).
+__C.NET.SUPPRESS_UNTRAINABLE_ANCHORS = True
 
 # ---- training ----
 __C.TRAIN = _tree()
@@ -151,7 +154,8 @@ __C.TRAIN.MAX_ITERS = 25000
 __C.TRAIN.ITER_SIZE = 1  # gradient accumulation (solver iter_size)
 # Caffe solver clip_gradients (global-norm clip); <= 0 disables.
 __C.TRAIN.CLIP_GRADIENTS = -1.0
-__C.TRAIN.MIX_INDEX = True  # ⚠ reference flag for 5-stage roi mixing
+# (the reference's TRAIN.MIX_INDEX roi-mixing flag is intentionally absent:
+#  stages 4-5 always train on the bridge-refined RoIs — see PARITY.md)
 
 # ---- testing ----
 __C.TEST = _tree()
@@ -169,6 +173,15 @@ __C.TEST.MASK_MERGE_IOU_THRESH = 0.5
 __C.TEST.MASK_MERGE_NMS_THRESH = 0.3
 __C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
 __C.TEST.MAX_PER_IMAGE = 100
+
+# Reference-YAML keys accepted for 1:1 config translation but with no TPU
+# behavior (documented inert — tests enforce every other key is consumed):
+#   GPU_ID                 device selection is JAX's
+#   TRAIN.BBOX_THRESH      roidb bbox-target precompute threshold (the
+#                          Fast-RCNN-style path; targets here are on-device,
+#                          FG_THRESH governs)
+#   TEST.USE_GPU_MASK_MERGE voting is always on-device
+COMPAT_ONLY_KEYS = {"GPU_ID", "TRAIN.BBOX_THRESH", "TEST.USE_GPU_MASK_MERGE"}
 
 
 # --------------------------------------------------------------------------- #

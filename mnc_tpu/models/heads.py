@@ -62,6 +62,7 @@ class ClassifyHead(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     dropout_rate: float = 0.5
     dual_pathway: bool = False  # concat mask-pooled + raw box pathways
+    pool_window: int = 2  # warp_hw // pooled_hw (NET.POOLED_HW)
 
     @nn.compact
     def __call__(
@@ -81,7 +82,8 @@ class ClassifyHead(nn.Module):
         paths = [masked, roi_feat] if self.dual_pathway else [masked]
         feats = []
         for p in paths:
-            p = nn.max_pool(p.astype(self.compute_dtype), (2, 2), strides=(2, 2))
+            w = self.pool_window
+            p = nn.max_pool(p.astype(self.compute_dtype), (w, w), strides=(w, w))
             feats.append(p.reshape(n, -1))
         x = jnp.concatenate(feats, axis=-1)
         x = nn.relu(nn.Dense(self.fc_dim, dtype=self.compute_dtype,

@@ -46,6 +46,9 @@ class MNCArch:
     num_classes: int = 21
     mask_size: int = 21
     warp_hw: int = 14
+    # fc6 input resolution after the classify head's max pool (NET.POOLED_HW;
+    # reference ROIPooling→pool5 7×7).  None → warp_hw // 2.
+    pooled_hw: int | None = None
     n_stages: int = 5
     trunk: str = "vgg16"
     compute_dtype: Any = jnp.bfloat16
@@ -60,18 +63,37 @@ class MNCArch:
     # bbox target normalization constants (folded out at inference/export)
     bbox_means: tuple = (0.0, 0.0, 0.0, 0.0)
     bbox_stds: tuple = (0.1, 0.1, 0.2, 0.2)
+    # Whether this model's bbox_pred emits NORMALIZED deltas (training
+    # convention).  False for params exported with the stats folded into the
+    # weights (export_params / reference snapshot semantics) — the stage
+    # bridge must then NOT re-apply stds/means.  npz exports carry this as
+    # metadata; tools set it from there.
+    bbox_pred_normalized: bool = True
+    # TEST.BBOX_REG: when False, the 5-stage bridge keeps the unrefined boxes
+    # (second mask/classify pass still runs on them, as in the reference).
+    test_bbox_reg: bool = True
     roi_warp_impl: str = "einsum"
     # Trunk blocks/stages with stopped gradients.  The reference froze
     # conv1-conv2 (lr_mult 0) because they were ImageNet-PRETRAINED; when
     # training from random init set 0 — freezing random filters starves the
     # network of low-level features.
     trunk_frozen: int = 2
+    # Suppress proposals from anchor TYPES that can never receive training
+    # signal on this canvas (see trainable_anchor_mask).  Right when the
+    # weights were trained from scratch at this canvas; turn OFF when running
+    # imported/foreign weights (reference ProposalLayer scores all anchors).
+    suppress_untrainable_anchors: bool = True
     # Rematerialize the trunk in backward (jax.checkpoint): trades ~1/3 more
     # FLOPs for dropping all trunk activations from HBM — lets the training
     # batch grow on memory-bound configs.
     remat_trunk: bool = False
 
     def __post_init__(self):
+        if self.pooled_hw is None:
+            object.__setattr__(self, "pooled_hw", max(self.warp_hw // 2, 1))
+        assert self.warp_hw % self.pooled_hw == 0, (
+            f"warp_hw {self.warp_hw} must be a multiple of pooled_hw "
+            f"{self.pooled_hw} (the classify head pools warp_hw→pooled_hw)")
         # clamp the static NMS working set to the actual anchor count
         fh = self.canvas[0] // self.feat_stride
         fw = self.canvas[1] // self.feat_stride
@@ -91,20 +113,33 @@ class MNCArch:
             num_classes=cfg.NET.NUM_CLASSES,
             mask_size=cfg.MASK_SIZE,
             warp_hw=cfg.NET.WARP_HW,
+            pooled_hw=cfg.NET.POOLED_HW,
             n_stages=cfg.NET.N_STAGES,
             trunk=cfg.NET.TRUNK,
             compute_dtype=jnp.dtype(cfg.NET.COMPUTE_DTYPE),
             fc_dim=cfg.NET.FC_DIM,
             mask_fc_dim=cfg.NET.MASK_FC_DIM,
             dual_pathway=cfg.NET.DUAL_PATHWAY,
-            pre_nms_top_n=(cfg.STATIC.TRAIN_PRE_NMS_TOP_N if train
-                           else cfg.STATIC.TEST_PRE_NMS_TOP_N),
-            post_nms_top_n=(cfg.STATIC.TRAIN_POST_NMS_TOP_N if train
-                            else cfg.STATIC.TEST_POST_NMS_TOP_N),
+            suppress_untrainable_anchors=bool(
+                cfg.NET.SUPPRESS_UNTRAINABLE_ANCHORS),
+            # the effective working set is the REFERENCE knob capped by the
+            # STATIC compile-time budget (so reference YAMLs lower it 1:1 and
+            # STATIC bounds the padded shapes)
+            pre_nms_top_n=(min(cfg.STATIC.TRAIN_PRE_NMS_TOP_N,
+                               cfg.TRAIN.RPN_PRE_NMS_TOP_N) if train
+                           else min(cfg.STATIC.TEST_PRE_NMS_TOP_N,
+                                    cfg.TEST.RPN_PRE_NMS_TOP_N)),
+            post_nms_top_n=(min(cfg.STATIC.TRAIN_POST_NMS_TOP_N,
+                                cfg.TRAIN.RPN_POST_NMS_TOP_N) if train
+                            else min(cfg.STATIC.TEST_POST_NMS_TOP_N,
+                                     cfg.TEST.RPN_POST_NMS_TOP_N)),
             rpn_nms_thresh=(cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH),
             rpn_min_size=float(cfg.TRAIN.RPN_MIN_SIZE if train else cfg.TEST.RPN_MIN_SIZE),
-            bbox_means=tuple(cfg.TRAIN.BBOX_NORMALIZE_MEANS),
-            bbox_stds=tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS),
+            test_bbox_reg=bool(train or cfg.TEST.BBOX_REG),
+            bbox_means=(tuple(cfg.TRAIN.BBOX_NORMALIZE_MEANS)
+                        if cfg.TRAIN.BBOX_NORMALIZE_TARGETS else (0.0,) * 4),
+            bbox_stds=(tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS)
+                       if cfg.TRAIN.BBOX_NORMALIZE_TARGETS else (1.0,) * 4),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -201,8 +236,10 @@ def propose_rois(
     ws = boxes[:, 2] - boxes[:, 0] + 1.0
     hs = boxes[:, 3] - boxes[:, 1] + 1.0
     valid = (ws >= min_size) & (hs >= min_size)
-    # drop anchor types that can never receive training signal on this canvas
-    valid = valid & jnp.asarray(arch.trainable_anchor_mask())
+    if arch.suppress_untrainable_anchors:
+        # drop anchor types that can never receive training signal on this
+        # canvas (off for imported weights — reference scores all anchors)
+        valid = valid & jnp.asarray(arch.trainable_anchor_mask())
 
     # top-K pre-NMS working set
     neg_inf = jnp.finfo(jnp.float32).min
@@ -230,7 +267,7 @@ def stage_bridge(
     bbox_pred: jnp.ndarray,
     im_info: jnp.ndarray,
     arch: MNCArch,
-    bbox_pred_normalized: bool = True,
+    bbox_pred_normalized: bool | None = None,
 ) -> jnp.ndarray:
     """Refine RoIs with the predicted class's box deltas (5-stage bridge).
 
@@ -241,6 +278,8 @@ def stage_bridge(
     Differentiable w.r.t. both rois and bbox_pred — the path that carries
     stage-4/5 gradients into stage 3.
     """
+    if bbox_pred_normalized is None:
+        bbox_pred_normalized = arch.bbox_pred_normalized
     n, c = cls_prob.shape
     fg_cls = jnp.argmax(cls_prob[:, 1:], axis=1) + 1  # (N,) ∈ [1, C)
     deltas = bbox_pred.reshape(n, c, 4)
@@ -290,7 +329,8 @@ class MNC(nn.Module):
                                   compute_dtype=a.compute_dtype)
         self.classify_head = ClassifyHead(num_classes=a.num_classes, fc_dim=a.fc_dim,
                                           compute_dtype=a.compute_dtype,
-                                          dual_pathway=a.dual_pathway)
+                                          dual_pathway=a.dual_pathway,
+                                          pool_window=a.warp_hw // a.pooled_hw)
 
     # ---- stage pieces (also used by the training loop) ----
 
@@ -354,7 +394,8 @@ class MNC(nn.Module):
         out_rois, out_masks, out_prob = rois, mask_logits, cls_prob
         if a.n_stages == 5:
             # stage bridge + stages 4-5 (shared weights), score fusion
-            rois2 = stage_bridge(rois, cls_prob, bbox_pred, im_info, a)
+            rois2 = (stage_bridge(rois, cls_prob, bbox_pred, im_info, a)
+                     if a.test_bbox_reg else rois)
             roi_feat2 = self.warp(feat, rois2)
             mask_logits2 = self.mask_stage(roi_feat2)
             cls_logits2, bbox_pred2 = self.classify_stage(roi_feat2, mask_logits2)
@@ -370,7 +411,8 @@ class MNC(nn.Module):
             "cls_prob": out_prob,
             "mask_logits": out_masks,
             "bbox_pred": bbox_pred,
-            # first-pass extras for mask voting (candidates from both passes)
+            # first-pass outputs; pooled as extra NMS/voting candidates when
+            # PostCfg.vote_both_passes is set (pipeline/inference.py)
             "stage3_rois": rois,
             "stage3_cls_prob": cls_prob,
             "stage3_mask_logits": mask_logits,
@@ -410,8 +452,8 @@ class MNC(nn.Module):
         mask_logits, cls_prob, bbox_pred = flat_heads(rois)
         out_rois, out_masks, out_prob = rois, mask_logits, cls_prob
         if a.n_stages == 5:
-            rois2 = jax.vmap(lambda r, c, bb, i: stage_bridge(r, c, bb, i, a))(
-                rois, cls_prob, bbox_pred, im_infos)
+            rois2 = (jax.vmap(lambda r, c, bb, i: stage_bridge(r, c, bb, i, a))(
+                rois, cls_prob, bbox_pred, im_infos) if a.test_bbox_reg else rois)
             mask_logits2, cls_prob2, bbox_pred2 = flat_heads(rois2)
             out_rois = rois2
             out_masks = mask_logits2

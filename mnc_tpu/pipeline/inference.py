@@ -37,14 +37,21 @@ class PostCfg:
     # over all of a class's detections, but sub-threshold candidates carry
     # negligible weight; 64 covers every practical case at ~5x less work.
     vote_top_k: int = 64
+    # 5-stage: also pool the FIRST-pass (stage-3) detections as NMS/voting
+    # candidates, each with its own pass scores — doubles the candidate set
+    # (and postprocess cost) for slightly denser voting neighborhoods.
+    vote_both_passes: bool = False
     score_thresh: float = 0.0  # candidates below are dropped (CONF at demo time)
     paste: bool = True  # fuse full-canvas paste-back into the program
     binarize_thresh: float = 0.4  # cfg.BINARIZE_THRESH
 
     @classmethod
     def from_cfg(cls, **over) -> "PostCfg":
+        # the reference tester NMS'd with MASK_MERGE_NMS_THRESH when voting was
+        # on and TEST.NMS otherwise (both 0.3 by default)
         kw = dict(
-            nms_thresh=cfg.TEST.NMS,
+            nms_thresh=(cfg.TEST.MASK_MERGE_NMS_THRESH
+                        if cfg.TEST.USE_MASK_MERGE else cfg.TEST.NMS),
             max_per_image=cfg.TEST.MAX_PER_IMAGE,
             use_mask_merge=bool(cfg.TEST.USE_MASK_MERGE),
             mask_merge_iou=cfg.TEST.MASK_MERGE_IOU_THRESH,
@@ -138,14 +145,23 @@ class MNCPipeline:
         self.arch: MNCArch = model.arch
         self.post = post or PostCfg.from_cfg()
 
+        def _candidates(net_out, axis=0):
+            """(rois, valid, prob, masks) for postprocess — optionally pooling
+            the 5-stage first-pass detections too (PostCfg.vote_both_passes)."""
+            keys = ("rois", "roi_valid", "cls_prob", "mask_logits")
+            r, v, c, m = (net_out[k] for k in keys)
+            if self.post.vote_both_passes and model.arch.n_stages == 5:
+                r = jnp.concatenate([r, net_out["stage3_rois"]], axis)
+                v = jnp.concatenate([v, net_out["roi_valid"]], axis)
+                c = jnp.concatenate([c, net_out["stage3_cls_prob"]], axis)
+                m = jnp.concatenate([m, net_out["stage3_mask_logits"]], axis)
+            return r, v, c, m
+
         @jax.jit
         def _run(params, image, im_info):
             net_out = model.apply(params, image, im_info)
-            dets = postprocess_detections(
-                net_out["rois"], net_out["roi_valid"], net_out["cls_prob"],
-                net_out["mask_logits"], self.post, self.arch.canvas,
-            )
-            return dets
+            r, v, c, m = _candidates(net_out)
+            return postprocess_detections(r, v, c, m, self.post, self.arch.canvas)
 
         self._run = _run
 
@@ -154,11 +170,11 @@ class MNCPipeline:
             # batched cascade (fc heads amortized over B·N RoIs), then
             # per-image postprocess
             net_out = model.apply(params, images, im_infos, method=MNC.apply_batch)
+            r, v, c, m = _candidates(net_out, axis=1)
             return jax.vmap(
-                lambda r, v, c, m: postprocess_detections(
-                    r, v, c, m, self.post, self.arch.canvas)
-            )(net_out["rois"], net_out["roi_valid"], net_out["cls_prob"],
-              net_out["mask_logits"])
+                lambda r_, v_, c_, m_: postprocess_detections(
+                    r_, v_, c_, m_, self.post, self.arch.canvas)
+            )(r, v, c, m)
 
         self._run_batch = _run_batch
 

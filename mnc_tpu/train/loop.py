@@ -43,7 +43,8 @@ class TrainState(NamedTuple):
 
 
 def _roi_losses(model_vars, model: MNC, feat, tgt: T.RoiTargets, rng, arch: MNCArch,
-                prefix: str):
+                prefix: str, bbox_inside_weights=(1.0, 1.0, 1.0, 1.0),
+                bbox_reg: bool = True):
     """Mask + classify losses for one cascade pass over sampled RoIs."""
     roi_feat = model.apply(model_vars, feat, tgt.rois, method=MNC.warp)
     mask_logits = model.apply(model_vars, roi_feat, method=MNC.mask_stage)
@@ -63,11 +64,14 @@ def _roi_losses(model_vars, model: MNC, feat, tgt: T.RoiTargets, rng, arch: MNCA
     lbl = jnp.clip(tgt.labels, 0)
     sel = jnp.take_along_axis(per_cls, lbl[:, None, None].repeat(4, -1), axis=1)[:, 0]
     n_valid = jnp.maximum(jnp.sum((tgt.labels >= 0).astype(jnp.float32)), 1.0)
-    bbox_loss = smooth_l1_loss(
-        sel, tgt.bbox_targets,
-        inside_weights=tgt.bbox_weight[:, None],
-        outside_weights=jnp.full_like(sel, 1.0) * tgt.bbox_weight[:, None] / n_valid,
-    )
+    if bbox_reg:
+        bbox_loss = smooth_l1_loss(
+            sel, tgt.bbox_targets,
+            inside_weights=tgt.bbox_weight[:, None] * jnp.asarray(bbox_inside_weights),
+            outside_weights=jnp.full_like(sel, 1.0) * tgt.bbox_weight[:, None] / n_valid,
+        )
+    else:  # TRAIN.BBOX_REG=False: no box-regression training signal
+        bbox_loss = jnp.zeros(())
     return (
         {f"{prefix}_mask": mask_loss, f"{prefix}_cls": cls_loss, f"{prefix}_bbox": bbox_loss},
         (cls_logits, bbox_pred, mask_logits),
@@ -95,6 +99,10 @@ def mnc_loss(params, model: MNC, batch: dict, key: jax.Array, arch: MNCArch,
         neg_overlap=train_cfg["RPN_NEGATIVE_OVERLAP"],
         batch_size=train_cfg["RPN_BATCHSIZE"],
         fg_fraction=train_cfg["RPN_FG_FRACTION"],
+        clobber_positives=train_cfg.get("RPN_CLOBBER_POSITIVES", False),
+        positive_weight=train_cfg.get("RPN_POSITIVE_WEIGHT", -1.0),
+        inside_weights=train_cfg.get("RPN_BBOX_INSIDE_WEIGHTS",
+                                     (1.0, 1.0, 1.0, 1.0)),
     )
     rpn_cls_loss = softmax_cross_entropy(rpn_cls.reshape(-1, 2), at.labels, -1)
     rpn_bbox_loss = smooth_l1_loss(
@@ -114,20 +122,27 @@ def mnc_loss(params, model: MNC, batch: dict, key: jax.Array, arch: MNCArch,
     )
 
     # ---- stages 2-3
+    biw = train_cfg.get("BBOX_INSIDE_WEIGHTS", (1.0, 1.0, 1.0, 1.0))
+    breg = train_cfg.get("BBOX_REG", True)
     losses, (cls_logits, bbox_pred, _) = _roi_losses(
-        params, model, feat, tgt, k_drop1, arch, "s23")
+        params, model, feat, tgt, k_drop1, arch, "s23", bbox_inside_weights=biw,
+        bbox_reg=breg)
 
     if arch.n_stages == 5:
         # ---- bridge + stages 4-5 (shared weights)
         cls_prob = jax.nn.softmax(cls_logits, axis=-1)
-        rois2 = stage_bridge(tgt.rois, cls_prob, bbox_pred, im_info, arch)
+        # training regresses NORMALIZED targets by construction, so the bridge
+        # always de-normalizes here regardless of arch.bbox_pred_normalized
+        rois2 = stage_bridge(tgt.rois, cls_prob, bbox_pred, im_info, arch,
+                             bbox_pred_normalized=True)
         tgt2 = T.reassign_targets(
             rois2, tgt.labels, batch["gt_boxes"], batch["gt_classes"],
             batch["gt_valid"], batch["gt_masks"],
             fg_thresh=train_cfg["FG_THRESH"], mask_size=arch.mask_size,
             bbox_means=arch.bbox_means, bbox_stds=arch.bbox_stds,
         )
-        losses45, _ = _roi_losses(params, model, feat, tgt2, k_drop2, arch, "s45")
+        losses45, _ = _roi_losses(params, model, feat, tgt2, k_drop2, arch,
+                                  "s45", bbox_inside_weights=biw, bbox_reg=breg)
         losses.update(losses45)
 
     losses["rpn_cls"] = rpn_cls_loss

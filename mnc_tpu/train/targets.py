@@ -67,6 +67,8 @@ def anchor_targets(
     batch_size: int = 256,
     fg_fraction: float = 0.5,
     clobber_positives: bool = False,
+    positive_weight: float = -1.0,
+    inside_weights=(1.0, 1.0, 1.0, 1.0),
 ) -> AnchorTargets:
     """RPN training targets over the full anchor grid (K anchors).
 
@@ -118,9 +120,19 @@ def anchor_targets(
     matched_gt = gt_boxes[argmax_gt]
     bbox_targets = bbox_transform(anchors, matched_gt)
     bbox_targets = jnp.where(pos_keep[:, None], bbox_targets, 0.0)
-    inside_w = jnp.where(pos_keep[:, None], 1.0, 0.0) * jnp.ones((k, 4))
-    uniform = 1.0 / jnp.maximum(n_tot.astype(jnp.float32), 1.0)
-    outside_w = jnp.where((pos_keep | neg_keep)[:, None], uniform, 0.0) * jnp.ones((k, 4))
+    inside_w = jnp.where(pos_keep[:, None], jnp.asarray(inside_weights), 0.0)
+    if positive_weight > 0:
+        # RPN_POSITIVE_WEIGHT p ∈ (0, 1): positives share p, negatives 1-p
+        wp = positive_weight / jnp.maximum(n_pos.astype(jnp.float32), 1.0)
+        wn = (1.0 - positive_weight) / jnp.maximum(
+            jnp.sum(neg_keep).astype(jnp.float32), 1.0)
+        outside_w = (jnp.where(pos_keep[:, None], wp, 0.0)
+                     + jnp.where(neg_keep[:, None], wn, 0.0)) * jnp.ones((k, 4))
+    else:
+        # default −1: uniform 1/N_batch over all sampled anchors
+        uniform = 1.0 / jnp.maximum(n_tot.astype(jnp.float32), 1.0)
+        outside_w = jnp.where((pos_keep | neg_keep)[:, None], uniform, 0.0) \
+            * jnp.ones((k, 4))
     return AnchorTargets(labels, bbox_targets, inside_w, outside_w)
 
 

@@ -109,8 +109,13 @@ def export_params(params: Any, bbox_means, bbox_stds) -> Any:
     return fold(jax.tree.map(np.asarray, params))
 
 
-def save_npz(path: str, params: Any) -> None:
-    """Flat-name npz export (portable, ≙ .caffemodel role)."""
+def save_npz(path: str, params: Any, meta: dict | None = None) -> None:
+    """Flat-name npz export (portable, ≙ .caffemodel role).
+
+    ``meta`` entries are stored under ``__meta__/<key>`` — e.g.
+    ``bbox_pred_normalized`` records whether the stats are still IN the
+    regressor (True) or folded into the weights (False, export_params), so
+    consumers can configure the stage bridge correctly (ADVICE r1)."""
     flat = {}
 
     def walk(prefix, tree):
@@ -121,17 +126,47 @@ def save_npz(path: str, params: Any) -> None:
             flat[prefix] = np.asarray(tree)
 
     walk("", jax.device_get(params))
+    for k, v in (meta or {}).items():
+        flat[f"__meta__/{k}"] = np.asarray(v)
     np.savez(path, **flat)
 
 
 def load_npz(path: str) -> dict:
-    """Inverse of save_npz: nested dict from flat names."""
+    """Inverse of save_npz: nested dict from flat names (metadata stripped —
+    use :func:`npz_meta` for it)."""
     out: dict = {}
     with np.load(path) as data:
         for name in data.files:
+            if name.startswith("__meta__/"):
+                continue
             parts = name.split("/")
             d = out
             for p in parts[:-1]:
                 d = d.setdefault(p, {})
             d[parts[-1]] = data[name]
+    return out
+
+
+def arch_for_npz(path: str, arch):
+    """Return ``arch`` adjusted to the npz's recorded regressor convention.
+
+    Exported-with-folded-stats params (bbox_pred_normalized=False) need the
+    stage bridge NOT to re-apply the normalization stds/means; files without
+    metadata are assumed normalized (training convention)."""
+    normalized = bool(npz_meta(path).get("bbox_pred_normalized", True))
+    if normalized == arch.bbox_pred_normalized:
+        return arch
+    import dataclasses
+
+    return dataclasses.replace(arch, bbox_pred_normalized=normalized)
+
+
+def npz_meta(path: str) -> dict:
+    """The ``__meta__/*`` entries of an npz export ({} for older files)."""
+    out = {}
+    with np.load(path) as data:
+        for name in data.files:
+            if name.startswith("__meta__/"):
+                v = data[name]
+                out[name.split("/", 1)[1]] = v.item() if v.ndim == 0 else v
     return out

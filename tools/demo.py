@@ -60,9 +60,13 @@ def main():
     params = model.init(jax.random.PRNGKey(0), img0, info0)
 
     if args.npz:
-        from mnc_tpu.utils.checkpoint import load_npz
+        from mnc_tpu.utils.checkpoint import arch_for_npz, load_npz
 
         params = load_npz(args.npz)
+        arch2 = arch_for_npz(args.npz, arch)
+        if arch2 is not arch:  # exported with folded stats: bridge must not
+            arch, model = arch2, MNC(arch=arch2)  # re-apply stds/means
+            print("npz has bbox stats folded in; stage bridge de-norm off")
         print(f"loaded params from {args.npz}")
     elif args.ckpt:
         from mnc_tpu.utils.checkpoint import restore_checkpoint

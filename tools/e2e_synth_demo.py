@@ -7,21 +7,34 @@ evaluates mAP^r@0.5/0.7 with the full jitted detect pipeline.  Prints the
 reference-style AP table and a final JSON line.
 
     python tools/e2e_synth_demo.py [--iters 300] [--cpu] [--eval-images 8]
+        [--batch 8] [--eval-every 1000]     # batched SGD + learning curve
+
+With --eval-every N the run logs a mAP^r learning curve to
+``output/e2e_metrics.jsonl`` (one JSON object per eval point) — the
+convergence evidence VERDICT round 1 asked for.
 """
 
 import _init_paths  # noqa: F401
 import argparse
 import json
+import os
 import time
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--eval-images", type=int, default=8)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="evaluate mAP^r every N iters (0 = only at end)")
+    ap.add_argument("--train-images", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--stepsize", type=int, default=None,
+                    help="step-LR decay point (default 3/4 of iters)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="output")
     args = ap.parse_args()
 
     import jax
@@ -37,6 +50,7 @@ def main():
     from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
     from mnc_tpu.train.loop import TrainState, make_train_step
     from mnc_tpu.train.optim import make_optimizer
+    from mnc_tpu.utils.checkpoint import save_npz
 
     arch = MNCArch(
         canvas=(96, 128), anchor_scales=(1, 2, 4), num_classes=4, mask_size=13,
@@ -50,7 +64,8 @@ def main():
         BG_THRESH_HI=0.5, BG_THRESH_LO=0.0,
     )
     imdb = SyntheticIMDB(canvas_hw=arch.canvas, num_classes=arch.num_classes,
-                         max_gt=4, gt_mask_size=24, num_images=64, seed=1)
+                         max_gt=4, gt_mask_size=24, num_images=args.train_images,
+                         seed=1)
     val = SyntheticIMDB(canvas_hw=arch.canvas, num_classes=arch.num_classes,
                         max_gt=4, gt_mask_size=24, num_images=args.eval_images,
                         seed=99)
@@ -59,27 +74,74 @@ def main():
     ex0 = imdb.example(0)
     params = model.init(jax.random.PRNGKey(args.seed),
                         jnp.asarray(ex0["image"]), jnp.asarray(ex0["im_info"]))
-    tx = make_optimizer(params, base_lr=args.lr, stepsize=max(args.iters * 3 // 4, 1),
+    stepsize = args.stepsize or max(args.iters * 3 // 4, 1)
+    tx = make_optimizer(params, base_lr=args.lr, stepsize=stepsize,
                         clip_gradients=10.0)
     step = make_train_step(model, tx, arch, train_cfg)
     state = TrainState.create(params, tx)
     key = jax.random.PRNGKey(args.seed)
 
+    # pre-stage the whole (small) training set on device; per-iter batches are
+    # an on-device gather, so the host never touches pixels in the hot loop
+    all_ex = {k: jnp.asarray(v)
+              for k, v in imdb.gen.batch(imdb.image_index).items()}
+    rs = np.random.RandomState(args.seed + 7)
+
+    os.makedirs(args.out, exist_ok=True)
+    curve_path = os.path.join(args.out, "e2e_metrics.jsonl")
+    curve_f = open(curve_path, "a")
+
+    val_ex = [val.example(i) for i in val.image_index]
+    gt = val.gt_instances()
+    pipe = MNCPipeline(model, jax.device_get(state.params),
+                       PostCfg(dets_per_class=8, max_per_image=12, vote_top_k=24,
+                               score_thresh=0.01))
+
+    def evaluate(params_now, verbose=False):
+        pipe.params = jax.device_get(params_now)
+        dets = []
+        for i, ex in zip(val.image_index, val_ex):
+            out = jax.device_get(pipe.detect_canvas(jnp.asarray(ex["image"]),
+                                                    jnp.asarray(ex["im_info"])))
+            dets.extend(collect_detections(out, i, score_thresh=0.05))
+        r5 = eval_sds(dets, gt, val.num_classes, 0.5)
+        r7 = eval_sds(dets, gt, val.num_classes, 0.7)
+        if verbose:
+            print(print_ap_table(r5, val.classes), flush=True)
+            print(print_ap_table(r7, val.classes), flush=True)
+        return r5, r7
+
     t0 = time.time()
+    last_metrics = None
     for it in range(args.iters):
-        ex = imdb.example(it % imdb.num_images)
-        batch = {k: jnp.asarray(v) for k, v in ex.items()}
+        if args.batch == 1:
+            idx = jnp.asarray([it % imdb.num_images])
+            batch = jax.tree.map(lambda a: a[idx][0], all_ex)
+        else:
+            idx = jnp.asarray(rs.randint(0, imdb.num_images, size=args.batch))
+            batch = jax.tree.map(lambda a: a[idx], all_ex)
         key, k = jax.random.split(key)
         state, metrics = step(state, batch, k)
-        if (it + 1) % 50 == 0 or it == 0:
+        last_metrics = metrics
+        if (it + 1) % 100 == 0 or it == 0:
             m = jax.device_get(metrics)
             print(f"iter {it + 1}: total={float(m['total']):.3f} "
-                  f"mask={float(m['s23_mask']):.3f} cls={float(m['s23_cls']):.3f}",
-                  flush=True)
+                  f"mask={float(m['s23_mask']):.3f} cls={float(m['s23_cls']):.3f} "
+                  f"({(time.time() - t0):.0f}s)", flush=True)
+        if args.eval_every and (it + 1) % args.eval_every == 0 \
+                and (it + 1) < args.iters:
+            r5, r7 = evaluate(state.params)
+            rec = {"iter": it + 1, "map_r_050": round(r5["map"], 4),
+                   "map_r_070": round(r7["map"], 4),
+                   "total_loss": round(float(jax.device_get(metrics)["total"]), 4),
+                   "wall_s": round(time.time() - t0, 1)}
+            print("EVAL " + json.dumps(rec), flush=True)
+            curve_f.write(json.dumps(rec) + "\n")
+            curve_f.flush()
     print(f"trained {args.iters} iters in {time.time() - t0:.0f}s", flush=True)
     import numpy as _np
-    from mnc_tpu.utils.checkpoint import save_npz
-    save_npz("output/e2e_params.npz", jax.device_get(state.params))
+    save_npz(os.path.join(args.out, "e2e_params.npz"),
+             jax.device_get(state.params))
 
     # network-level diagnostics on one val image
     ex = val.example(val.image_index[0])
@@ -91,31 +153,17 @@ def main():
           " bg prob mean=", round(float(net["cls_prob"][:, 0].mean()), 3),
           " rois[:3]=", _np.round(net["rois"][:3], 1).tolist(), flush=True)
 
-    pipe = MNCPipeline(model, jax.device_get(state.params),
-                       PostCfg(dets_per_class=8, max_per_image=12, vote_top_k=24,
-                               score_thresh=0.01))
-    dets = []
-    for i in val.image_index:
-        ex = val.example(i)
-        out = jax.device_get(pipe.detect_canvas(jnp.asarray(ex["image"]),
-                                                jnp.asarray(ex["im_info"])))
-        dets.extend(collect_detections(out, i, score_thresh=0.05))
-        if i == val.image_index[0]:
-            v = out["valid"]
-            print("diag img0: n_det=", int(v.sum()),
-                  " top scores=", np.round(out["scores"][:5], 3).tolist(),
-                  " classes=", out["classes"][:5].tolist(),
-                  " gt classes=", ex["gt_classes"][ex["gt_valid"]].tolist(),
-                  " mask px=", [int(m.sum()) for m in out["canvas_masks"][:3]],
-                  flush=True)
-    gt = val.gt_instances()
-    r5 = eval_sds(dets, gt, val.num_classes, 0.5)
-    r7 = eval_sds(dets, gt, val.num_classes, 0.7)
-    print(print_ap_table(r5, val.classes), flush=True)
-    print(print_ap_table(r7, val.classes), flush=True)
+    r5, r7 = evaluate(state.params, verbose=True)
+    rec = {"iter": args.iters, "map_r_050": round(r5["map"], 4),
+           "map_r_070": round(r7["map"], 4),
+           "total_loss": round(float(jax.device_get(last_metrics)["total"]), 4)
+           if last_metrics is not None else None,
+           "wall_s": round(time.time() - t0, 1)}
+    curve_f.write(json.dumps(rec) + "\n")
+    curve_f.close()
     print(json.dumps({"map_r_050": round(r5["map"], 4),
                       "map_r_070": round(r7["map"], 4),
-                      "iters": args.iters}))
+                      "iters": args.iters, "batch": args.batch}))
 
 
 if __name__ == "__main__":

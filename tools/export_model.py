@@ -18,8 +18,11 @@ import os.path as osp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True, help="checkpoint dir or path")
-    ap.add_argument("--out", required=True, help="output .npz")
+    ap.add_argument("--out", default=None,
+                    help="output .npz (default from TRAIN.SNAPSHOT_PREFIX)")
     ap.add_argument("--no-unnormalize", action="store_true")
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -29,7 +32,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from mnc_tpu.config import cfg
+    from mnc_tpu.config import cfg, cfg_from_file, cfg_from_list
     from mnc_tpu.models.mnc import MNC, MNCArch
     from mnc_tpu.train.loop import TrainState
     from mnc_tpu.train.optim import make_optimizer
@@ -40,6 +43,10 @@ def main():
         save_npz,
     )
 
+    if args.cfg:
+        cfg_from_file(args.cfg)
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
     arch = MNCArch.from_cfg(train=False)
     model = MNC(arch=arch)
     img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
@@ -57,8 +64,17 @@ def main():
         out = export_params(out, cfg.TRAIN.BBOX_NORMALIZE_MEANS,
                             cfg.TRAIN.BBOX_NORMALIZE_STDS)
         print("folded bbox normalization stats into bbox_pred")
-    save_npz(args.out, out)
-    print(f"exported {path} → {args.out}")
+    out_path = args.out
+    if out_path is None:
+        # reference snapshot naming: {prefix}{infix}_iter_{N}.caffemodel
+        out_path = (f"{cfg.TRAIN.SNAPSHOT_PREFIX}{cfg.TRAIN.SNAPSHOT_INFIX}"
+                    f"_iter_{int(state.step)}.npz")
+    # record the regressor convention so npz consumers configure the stage
+    # bridge correctly (re-applying stds to already-raw deltas silently
+    # shrinks 5-stage refinements ~5-10x)
+    save_npz(out_path, out,
+             meta={"bbox_pred_normalized": bool(args.no_unnormalize)})
+    print(f"exported {path} → {out_path}")
 
 
 if __name__ == "__main__":

@@ -45,9 +45,13 @@ def main():
     info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
     if args.npz:
-        from mnc_tpu.utils.checkpoint import load_npz
+        from mnc_tpu.utils.checkpoint import arch_for_npz, load_npz
 
         params = load_npz(args.npz)
+        arch2 = arch_for_npz(args.npz, arch)
+        if arch2 is not arch:  # exported with folded stats: bridge must not
+            arch, model = arch2, MNC(arch=arch2)  # re-apply stds/means
+            print("npz has bbox stats folded in; stage bridge de-norm off")
     elif args.ckpt:
         from mnc_tpu.train.loop import TrainState
         from mnc_tpu.train.optim import make_optimizer

@@ -84,6 +84,11 @@ def main():
         FG_THRESH=cfg.TRAIN.FG_THRESH,
         BG_THRESH_HI=cfg.TRAIN.BG_THRESH_HI,
         BG_THRESH_LO=cfg.TRAIN.BG_THRESH_LO,
+        BBOX_REG=cfg.TRAIN.BBOX_REG,
+        RPN_CLOBBER_POSITIVES=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
+        RPN_POSITIVE_WEIGHT=cfg.TRAIN.RPN_POSITIVE_WEIGHT,
+        RPN_BBOX_INSIDE_WEIGHTS=tuple(cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS),
+        BBOX_INSIDE_WEIGHTS=tuple(cfg.TRAIN.BBOX_INSIDE_WEIGHTS),
     )
 
     img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
