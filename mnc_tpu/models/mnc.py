@@ -60,6 +60,10 @@ class MNCArch:
     post_nms_top_n: int = 304
     rpn_nms_thresh: float = 0.7
     rpn_min_size: float = 16.0
+    # proposal-NMS tile size: working sets larger than this use the exact
+    # tiled scan (ops/nms.py::nms_tiled) instead of the (K, K) fixpoint,
+    # making the reference's 6000/12000 pre-NMS budgets runnable.
+    nms_chunk: int = 1024
     # bbox target normalization constants (folded out at inference/export)
     bbox_means: tuple = (0.0, 0.0, 0.0, 0.0)
     bbox_stds: tuple = (0.1, 0.1, 0.2, 0.2)
@@ -249,7 +253,8 @@ def propose_rois(
     top_valid = top_scores > neg_inf
 
     idx, keep_valid = nms_indices(
-        top_boxes, top_scores, top_valid, arch.rpn_nms_thresh, arch.post_nms_top_n
+        top_boxes, top_scores, top_valid, arch.rpn_nms_thresh,
+        arch.post_nms_top_n, chunk=arch.nms_chunk,
     )
     rois = top_boxes[idx]
     roi_scores = jnp.where(keep_valid, top_scores[idx], 0.0)

@@ -12,7 +12,7 @@ from mnc_tpu.ops.bbox import (  # noqa: F401
     bbox_transform_inv,
     clip_boxes,
 )
-from mnc_tpu.ops.nms import nms_fixed, nms_indices  # noqa: F401
+from mnc_tpu.ops.nms import nms_fixed, nms_indices, nms_tiled  # noqa: F401
 from mnc_tpu.ops.losses import (  # noqa: F401
     sigmoid_cross_entropy,
     smooth_l1_loss,

@@ -76,12 +76,61 @@ def nms_fixed(boxes: jnp.ndarray, valid: jnp.ndarray, thresh) -> jnp.ndarray:
     return keep
 
 
+def nms_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, thresh, top_n: int,
+              chunk: int = 1024) -> jnp.ndarray:
+    """Greedy NMS over score-sorted boxes at reference-scale working sets.
+
+    ``nms_fixed`` materializes the (K, K) suppression matrix — 576 MB of f32
+    at the reference's pre-NMS K=12000.  This variant is EXACT greedy NMS with
+    O(chunk² + chunk·top_n) memory: scan score-ordered chunks; each chunk is
+    first suppressed against the buffer of already-kept boxes, then resolved
+    internally with the fixpoint iteration.  Only the first ``top_n`` keeps
+    can reach the output, so the kept-buffer is bounded by ``top_n`` and the
+    scan early-outs (emits don't-care False) once it fills — selections up to
+    rank ``top_n`` are identical to ``nms_fixed``/the reference ``gpu_nms``.
+
+    Returns a (K,) keep mask whose first ``top_n`` True entries (in score
+    order) are the greedy-NMS survivors; entries past the buffer fill are
+    False regardless.
+    """
+    k = boxes.shape[0]
+    pad = (-k) % chunk
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
+    n_chunks = (k + pad) // chunk
+
+    def step(state, xs):
+        kept_boxes, kept_mask, count = state
+        b, v = xs
+        # suppression by keeps from earlier chunks
+        iou_prev = bbox_overlaps(b, kept_boxes)
+        sup = jnp.any((iou_prev > thresh) & kept_mask[None, :], axis=1)
+        keep_c = nms_fixed(b, v & ~sup, thresh)
+        # append this chunk's keeps to the buffer (in score order; overflow
+        # beyond top_n is dropped — it can never reach the output)
+        pos = count + jnp.cumsum(keep_c.astype(jnp.int32)) - 1
+        slot = jnp.where(keep_c & (pos < top_n), pos, top_n)  # top_n = OOB
+        kept_boxes = kept_boxes.at[slot].set(b, mode="drop")
+        kept_mask = kept_mask.at[slot].set(True, mode="drop")
+        count = count + jnp.sum(keep_c.astype(jnp.int32))
+        return (kept_boxes, kept_mask, count), keep_c
+
+    init = (jnp.zeros((top_n, 4), boxes.dtype), jnp.zeros((top_n,), bool),
+            jnp.sum(valid.astype(jnp.int32)) * 0)
+    _, keeps = jax.lax.scan(
+        step, init,
+        (boxes_p.reshape(n_chunks, chunk, 4), valid_p.reshape(n_chunks, chunk)),
+    )
+    return keeps.reshape(-1)[:k]
+
+
 def nms_indices(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     thresh,
     top_n: int,
+    chunk: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sort by score, run NMS, return the top ``top_n`` kept indices.
 
@@ -91,6 +140,8 @@ def nms_indices(
       valid: (K,) bool.
       thresh: IoU threshold.
       top_n: static output count (padded with the last valid index).
+      chunk: when set and K > chunk, use the tiled O(chunk²)-memory scan
+        (reference working sets 6000/12000) instead of the (K, K) fixpoint.
 
     Returns:
       (idx, keep_valid): idx (top_n,) int32 indices into the ORIGINAL arrays in
@@ -101,7 +152,10 @@ def nms_indices(
     order = jnp.argsort(-masked_scores)
     sorted_boxes = boxes[order]
     sorted_valid = valid[order]
-    keep = nms_fixed(sorted_boxes, sorted_valid, thresh)
+    if chunk is not None and boxes.shape[0] > chunk:
+        keep = nms_tiled(sorted_boxes, sorted_valid, thresh, top_n, chunk)
+    else:
+        keep = nms_fixed(sorted_boxes, sorted_valid, thresh)
 
     # Top-n kept, in score order: score kept entries by their (negated) rank.
     rank = jnp.arange(keep.shape[0], dtype=jnp.int32)

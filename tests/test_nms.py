@@ -4,6 +4,8 @@ The oracle below is the reference ``lib/nms/cpu_nms.pyx`` algorithm in numpy;
 nms_fixed must make identical selections (SURVEY.md §4 "NMS vs numpy oracle").
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -115,3 +117,87 @@ def test_pallas_nms_matches_fixed(rng):
     a = np.asarray(nms_fixed(sb, valid, 0.5))
     b = np.asarray(nms_pallas(sb, valid, 0.5))
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# tiled NMS (reference-scale working sets)
+# ---------------------------------------------------------------------------
+
+def _oracle_keep_topn(boxes, thresh, top_n):
+    """numpy greedy NMS on score-sorted boxes; first top_n kept indices."""
+    kept = []
+    for j in range(len(boxes)):
+        x1, y1, x2, y2 = boxes[j]
+        area_j = (x2 - x1 + 1) * (y2 - y1 + 1)
+        ok = True
+        for i in kept:
+            a = boxes[i]
+            xx1, yy1 = max(a[0], x1), max(a[1], y1)
+            xx2, yy2 = min(a[2], x2), min(a[3], y2)
+            w, h = max(0.0, xx2 - xx1 + 1), max(0.0, yy2 - yy1 + 1)
+            inter = w * h
+            area_i = (a[2] - a[0] + 1) * (a[3] - a[1] + 1)
+            if inter / (area_i + area_j - inter) > thresh:
+                ok = False
+                break
+        if ok:
+            kept.append(j)
+    return kept[:top_n]
+
+
+@pytest.mark.parametrize("k,chunk,top_n,thresh", [
+    (3000, 512, 300, 0.7),
+    (2048, 512, 64, 0.5),   # buffer fills mid-stream
+    (1500, 1024, 300, 0.3),
+    (700, 1024, 100, 0.7),  # K < chunk → falls back to nms_fixed path
+])
+def test_nms_tiled_matches_oracle(k, chunk, top_n, thresh):
+    rs = np.random.RandomState(k + top_n)
+    boxes = np.stack([
+        rs.uniform(0, 400, k), rs.uniform(0, 300, k),
+        np.zeros(k), np.zeros(k)], axis=1).astype(np.float32)
+    boxes[:, 2] = boxes[:, 0] + rs.uniform(4, 120, k)
+    boxes[:, 3] = boxes[:, 1] + rs.uniform(4, 120, k)
+    scores = rs.uniform(size=k).astype(np.float32)
+    valid = rs.uniform(size=k) > 0.05
+
+    idx, kv = jax.jit(
+        lambda b, s, v: nms_indices(b, s, v, thresh, top_n, chunk=chunk)
+    )(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+    idx, kv = np.asarray(idx), np.asarray(kv)
+
+    order = np.argsort(-np.where(valid, scores, -np.inf), kind="stable")
+    order = order[valid[order]]
+    oracle_sorted = _oracle_keep_topn(boxes[order], thresh, top_n)
+    expected = order[oracle_sorted]
+    got = idx[kv]
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_nms_tiled_equals_fixed_small():
+    rs = np.random.RandomState(0)
+    k = 1024
+    boxes = np.stack([
+        rs.uniform(0, 200, k), rs.uniform(0, 200, k),
+        np.zeros(k), np.zeros(k)], axis=1).astype(np.float32)
+    boxes[:, 2] = boxes[:, 0] + rs.uniform(4, 60, k)
+    boxes[:, 3] = boxes[:, 1] + rs.uniform(4, 60, k)
+    scores = rs.uniform(size=k).astype(np.float32)
+    valid = np.ones(k, bool)
+    i1, v1 = nms_indices(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(valid), 0.7, 300)
+    i2, v2 = nms_indices(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(valid), 0.7, 300, chunk=256)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1)[np.asarray(v1)],
+                                  np.asarray(i2)[np.asarray(v2)])
+
+
+def test_nms_tiled_all_overlapping():
+    # one giant pile: only the top-scored box survives
+    boxes = jnp.tile(jnp.asarray([[10.0, 10.0, 50.0, 50.0]]), (2000, 1))
+    scores = jnp.linspace(1.0, 0.1, 2000)
+    valid = jnp.ones((2000,), bool)
+    idx, kv = nms_indices(boxes, scores, valid, 0.5, 10, chunk=512)
+    assert int(np.asarray(kv).sum()) == 1
+    assert int(np.asarray(idx)[0]) == 0

@@ -35,6 +35,9 @@ def main():
                     help="step-LR decay point (default 3/4 of iters)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="output")
+    ap.add_argument("--full-scale", action="store_true",
+                    help="reference-scale arch: 640x1024 canvas, full VGG-16 "
+                         "heads, MASK_SIZE 21, warp 14, anchors (8,16,32)x16")
     args = ap.parse_args()
 
     import jax
@@ -52,23 +55,39 @@ def main():
     from mnc_tpu.train.optim import make_optimizer
     from mnc_tpu.utils.checkpoint import save_npz
 
-    arch = MNCArch(
-        canvas=(96, 128), anchor_scales=(1, 2, 4), num_classes=4, mask_size=13,
-        warp_hw=6, n_stages=5, compute_dtype=jnp.float32, fc_dim=256,
-        mask_fc_dim=256, pre_nms_top_n=192, post_nms_top_n=48, rpn_min_size=4.0,
-        trunk_frozen=0,  # training from scratch — do not freeze random filters
-    )
-    train_cfg = dict(
-        RPN_POSITIVE_OVERLAP=0.6, RPN_NEGATIVE_OVERLAP=0.3, RPN_BATCHSIZE=128,
-        RPN_FG_FRACTION=0.5, BATCH_SIZE=64, FG_FRACTION=0.25, FG_THRESH=0.5,
-        BG_THRESH_HI=0.5, BG_THRESH_LO=0.0,
-    )
+    if args.full_scale:
+        # the reference-scale configuration (SURVEY §2.1 defaults), bf16 trunk
+        arch = MNCArch(
+            canvas=(640, 1024), anchor_scales=(8, 16, 32), num_classes=6,
+            mask_size=21, warp_hw=14, n_stages=5, fc_dim=4096, mask_fc_dim=256,
+            pre_nms_top_n=2048, post_nms_top_n=512, rpn_min_size=16.0,
+            trunk_frozen=0,
+        )
+        train_cfg = dict(
+            RPN_POSITIVE_OVERLAP=0.7, RPN_NEGATIVE_OVERLAP=0.3,
+            RPN_BATCHSIZE=256, RPN_FG_FRACTION=0.5, BATCH_SIZE=128,
+            FG_FRACTION=0.25, FG_THRESH=0.5, BG_THRESH_HI=0.5, BG_THRESH_LO=0.0,
+        )
+        gt_mask_size, max_gt = 28, 6
+    else:
+        arch = MNCArch(
+            canvas=(96, 128), anchor_scales=(1, 2, 4), num_classes=4, mask_size=13,
+            warp_hw=6, n_stages=5, compute_dtype=jnp.float32, fc_dim=256,
+            mask_fc_dim=256, pre_nms_top_n=192, post_nms_top_n=48, rpn_min_size=4.0,
+            trunk_frozen=0,  # training from scratch — do not freeze random filters
+        )
+        train_cfg = dict(
+            RPN_POSITIVE_OVERLAP=0.6, RPN_NEGATIVE_OVERLAP=0.3, RPN_BATCHSIZE=128,
+            RPN_FG_FRACTION=0.5, BATCH_SIZE=64, FG_FRACTION=0.25, FG_THRESH=0.5,
+            BG_THRESH_HI=0.5, BG_THRESH_LO=0.0,
+        )
+        gt_mask_size, max_gt = 24, 4
     imdb = SyntheticIMDB(canvas_hw=arch.canvas, num_classes=arch.num_classes,
-                         max_gt=4, gt_mask_size=24, num_images=args.train_images,
-                         seed=1)
+                         max_gt=max_gt, gt_mask_size=gt_mask_size,
+                         num_images=args.train_images, seed=1)
     val = SyntheticIMDB(canvas_hw=arch.canvas, num_classes=arch.num_classes,
-                        max_gt=4, gt_mask_size=24, num_images=args.eval_images,
-                        seed=99)
+                        max_gt=max_gt, gt_mask_size=gt_mask_size,
+                        num_images=args.eval_images, seed=99)
 
     model = MNC(arch=arch)
     ex0 = imdb.example(0)
