@@ -145,9 +145,48 @@ def collect_detections(det_out: dict, image_id, score_thresh: float = 0.0) -> li
 
 def print_ap_table(result: dict, class_names=None) -> str:
     """Render the per-class AP table in the reference's printed format."""
-    lines = [f"~~~~~~ Evaluation: mAP^r @ IoU {result['thresh']:.1f} ~~~~~~"]
+    t = result["thresh"]
+    t = f"{t:.1f}" if isinstance(t, float) else t
+    lines = [f"~~~~~~ Evaluation: mAP^r @ IoU {t} ~~~~~~"]
     for cls, val in sorted(result["ap"].items()):
         name = class_names[cls] if class_names else f"class_{cls:02d}"
         lines.append(f"AP for {name} = {val:.4f}")
     lines.append(f"Mean AP^r = {result['map']:.4f}")
     return "\n".join(lines)
+
+
+def eval_sds_averaged(
+    detections: list[dict],
+    gt_instances: dict,
+    num_classes: int,
+    thresholds=None,
+    use_07_metric: bool = False,
+) -> dict:
+    """COCO-style averaged-threshold region AP: AP^r@[.5:.95].
+
+    Runs the SDS matcher at each IoU threshold (default 0.5:0.05:0.95, the
+    COCO convention) and averages per class — the stretch-config metric
+    (BASELINE configs[4]; the reference reported COCO seg AP@[.5:.95] for its
+    challenge entry).
+
+    Returns {"ap": {cls: averaged AP}, "map": float, "thresh": "0.50:0.95",
+             "per_thresh": {t: mAP at t}}.
+    """
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.951, 0.05)
+    thresholds = [round(float(t), 2) for t in thresholds]
+    results = {
+        t: eval_sds(detections, gt_instances, num_classes, iou_thresh=t,
+                    use_07_metric=use_07_metric)
+        for t in thresholds
+    }
+    classes = set()
+    for r in results.values():
+        classes.update(r["ap"])
+    ap = {
+        cls: float(np.mean([results[t]["ap"].get(cls, 0.0) for t in thresholds]))
+        for cls in sorted(classes)
+    }
+    mean_ap = float(np.mean(list(ap.values()))) if ap else 0.0
+    return {"ap": ap, "map": mean_ap, "thresh": "0.50:0.95",
+            "per_thresh": {t: results[t]["map"] for t in thresholds}}

@@ -54,13 +54,18 @@ class IMDB:
         raise NotImplementedError
 
     def evaluate(self, detections: list[dict], iou_threshs=(0.5, 0.7)) -> dict:
-        from mnc_tpu.data.eval_sds import eval_sds
+        """Thresholded mAP^r; the key "avg" in ``iou_threshs`` adds the
+        COCO-style AP^r@[.5:.95] (eval_sds_averaged)."""
+        from mnc_tpu.data.eval_sds import eval_sds, eval_sds_averaged
 
         gt = self.gt_instances()
-        return {
-            t: eval_sds(detections, gt, self.num_classes, iou_thresh=t)
-            for t in iou_threshs
-        }
+        out = {}
+        for t in iou_threshs:
+            if t == "avg":
+                out[t] = eval_sds_averaged(detections, gt, self.num_classes)
+            else:
+                out[t] = eval_sds(detections, gt, self.num_classes, iou_thresh=t)
+        return out
 
     # ---- augmentation ----
     @staticmethod

@@ -1,6 +1,7 @@
 """Datasets, loader, and the mAP^r evaluator."""
 
 import numpy as np
+import pytest
 
 from mnc_tpu.data.eval_sds import eval_sds, print_ap_table, voc_ap
 from mnc_tpu.data.loader import TrainLoader
@@ -108,3 +109,66 @@ def test_factory_names():
     assert det.num_classes == 21
     seg = get_imdb("voc_2012_seg_val")
     assert seg.name == "voc_2012_seg_val"
+
+
+# ---------------------------------------------------------------------------
+# COCO-style AP^r@[.5:.95] (eval_sds_averaged)
+# ---------------------------------------------------------------------------
+
+def _sq(y0, x0, size, hw=(40, 40)):
+    m = np.zeros(hw, np.uint8)
+    m[y0:y0 + size, x0:x0 + size] = 1
+    return m
+
+
+def test_eval_sds_averaged_hand_computed():
+    """One gt square; one detection overlapping it with IoU 2/3 ≈ 0.667.
+
+    The detection is a TP for thresholds {0.5, 0.55, 0.6, 0.65} (AP=1) and a
+    FP for the remaining six (AP=0) → averaged AP = 4/10 = 0.4.
+    """
+    from mnc_tpu.data.eval_sds import eval_sds_averaged
+
+    gt = {0: [{"class_id": 1, "mask": _sq(0, 0, 12)}]}
+    # shift by 3 columns: inter 12*9=108, union 2*144-108=180, IoU=0.6 — no:
+    # use overlap 2/3: shift 12x12 by width w s.t. (12-w)/ (12+w) ... compute
+    # directly: shift 2 cols → inter 120, union 168, IoU 0.714 → TP at .5-.7
+    det = [{"image_id": 0, "class_id": 1, "score": 0.9,
+            "mask": _sq(0, 2, 12)}]
+    r = eval_sds_averaged(det, gt, num_classes=2)
+    # IoU = 120/168 = 0.7142857 → TP at thresholds 0.50..0.70 (5 of 10)
+    assert r["ap"][1] == pytest.approx(0.5)
+    assert r["map"] == pytest.approx(0.5)
+    assert r["per_thresh"][0.5] == 1.0
+    assert r["per_thresh"][0.75] == 0.0
+    assert r["thresh"] == "0.50:0.95"
+
+
+def test_eval_sds_averaged_perfect_and_miss():
+    from mnc_tpu.data.eval_sds import eval_sds_averaged
+
+    gt = {0: [{"class_id": 1, "mask": _sq(0, 0, 10)},
+              {"class_id": 2, "mask": _sq(20, 20, 10)}]}
+    det = [
+        {"image_id": 0, "class_id": 1, "score": 0.9, "mask": _sq(0, 0, 10)},
+        {"image_id": 0, "class_id": 2, "score": 0.8, "mask": _sq(0, 0, 10)},
+    ]
+    r = eval_sds_averaged(det, gt, num_classes=3)
+    assert r["ap"][1] == pytest.approx(1.0)   # exact mask: TP at every thresh
+    assert r["ap"][2] == pytest.approx(0.0)   # wrong place: FP at every thresh
+    assert r["map"] == pytest.approx(0.5)
+
+
+def test_imdb_evaluate_avg_key():
+    from mnc_tpu.data.synth_imdb import SyntheticIMDB
+
+    imdb = SyntheticIMDB(canvas_hw=(64, 80), num_classes=4, max_gt=3,
+                         gt_mask_size=16, num_images=3, seed=5)
+    gt = imdb.gt_instances()
+    dets = [
+        {"image_id": i, "class_id": g["class_id"], "score": 0.9, "mask": g["mask"]}
+        for i, gs in gt.items() for g in gs
+    ]
+    res = imdb.evaluate(dets, iou_threshs=(0.5, "avg"))
+    assert res[0.5]["map"] == pytest.approx(1.0)
+    assert res["avg"]["map"] == pytest.approx(1.0)

@@ -20,6 +20,8 @@ def parse_args():
     ap.add_argument("--imdb", default="synthetic_16")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--npz", default=None)
+    ap.add_argument("--coco-ap", action="store_true",
+                    help="also report COCO-style AP^r@[.5:.95]")
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
@@ -123,11 +125,15 @@ def main():
             with open(args.cache, "wb") as f:
                 pickle.dump(detections, f)
 
-    results = imdb.evaluate(detections, iou_threshs=(0.5, 0.7))
+    threshs = (0.5, 0.7, "avg") if args.coco_ap else (0.5, 0.7)
+    results = imdb.evaluate(detections, iou_threshs=threshs)
     for t, res in results.items():
         print(print_ap_table(res, imdb.classes))
-    print(f"mAP^r@0.5 = {results[0.5]['map']:.4f}  "
-          f"mAP^r@0.7 = {results[0.7]['map']:.4f}")
+    line = (f"mAP^r@0.5 = {results[0.5]['map']:.4f}  "
+            f"mAP^r@0.7 = {results[0.7]['map']:.4f}")
+    if args.coco_ap:
+        line += f"  AP^r@[.5:.95] = {results['avg']['map']:.4f}"
+    print(line)
 
 
 if __name__ == "__main__":
