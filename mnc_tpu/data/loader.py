@@ -75,13 +75,15 @@ def make_example(
     gt_classes[:g] = roidb_entry["classes"][:g]
     gt_valid[:g] = True
     src_masks = mask_entry["masks"][:g]
-    if src_masks.shape[-1] != gt_mask_size:
+    if src_masks.shape[-1] != gt_mask_size and g > 0:
+        import cv2
+
         s = gt_mask_size
-        ys = np.clip(((np.arange(s) + 0.5) * src_masks.shape[1] / s).astype(int),
-                     0, src_masks.shape[1] - 1)
-        xs = np.clip(((np.arange(s) + 0.5) * src_masks.shape[2] / s).astype(int),
-                     0, src_masks.shape[2] - 1)
-        src_masks = src_masks[:, ys][:, :, xs]
+        # area filter (not nearest): tools/mask_fidelity_study.py
+        src_masks = np.stack([
+            cv2.resize(m.astype(np.float32), (s, s),
+                       interpolation=cv2.INTER_AREA)
+            for m in src_masks])
     gt_masks[:g] = src_masks
 
     return {

@@ -156,16 +156,19 @@ class PascalVOCSeg(IMDB):
             boxes = np.zeros((len(inst), 4), np.float32)
             classes = np.zeros((len(inst),), np.int32)
             masks = np.zeros((len(inst), s, s), np.float32)
+            import cv2
+
             for i, (cls, m, box) in enumerate(inst):
                 boxes[i] = box
                 classes[i] = cls
                 x1, y1, x2, y2 = box.astype(int)
                 crop = m[y1:y2 + 1, x1:x2 + 1].astype(np.float32)
-                ys = np.clip(((np.arange(s) + 0.5) * crop.shape[0] / s).astype(int),
-                             0, crop.shape[0] - 1)
-                xs = np.clip(((np.arange(s) + 0.5) * crop.shape[1] / s).astype(int),
-                             0, crop.shape[1] - 1)
-                masks[i] = crop[np.ix_(ys, xs)]
+                # area-filtered downsample: tools/mask_fidelity_study.py —
+                # S=112/area matches exact full-res targets at mean IoU 0.997
+                # (nearest: 0.993); soft values survive until intersect_mask
+                # binarizes the final target
+                masks[i] = cv2.resize(crop, (s, s),
+                                      interpolation=cv2.INTER_AREA)
             records.append({"index": index, "boxes": boxes, "classes": classes,
                             "masks": masks, "flipped": False})
         with open(cache, "wb") as f:
