@@ -64,3 +64,31 @@ def cfm_apply(
         "masks": seg_masks,
         "valid": seg_valid,
     }
+
+
+def cfm_detect(
+    model: MNC,
+    params,
+    image: jnp.ndarray,
+    im_info: jnp.ndarray,
+    seg_boxes: jnp.ndarray,
+    seg_masks: jnp.ndarray,
+    seg_valid: jnp.ndarray,
+    post,
+    refine_boxes: bool = True,
+) -> dict:
+    """Full CFM test-mode inference: segments → classified detections.
+
+    ≙ the reference's CFM test graph + tester post-processing: cfm_apply
+    scores every segment, then the standard per-class NMS / mask voting /
+    canvas paste-back (``postprocess_detections``) produces the detection
+    set.  Jit this whole function (static: model, post).
+    """
+    from mnc_tpu.pipeline.inference import postprocess_detections
+
+    out = cfm_apply(model, params, image, im_info, seg_boxes, seg_masks,
+                    seg_valid, refine_boxes=refine_boxes)
+    soft = jnp.clip(out["masks"].astype(jnp.float32), 1e-4, 1.0 - 1e-4)
+    pseudo_logits = jnp.log(soft) - jnp.log1p(-soft)
+    return postprocess_detections(out["boxes"], out["valid"], out["cls_prob"],
+                                  pseudo_logits, post, model.arch.canvas)

@@ -77,19 +77,19 @@ def postprocess_detections(
     """
     n, c = cls_prob.shape
     soft_masks = jax.nn.sigmoid(mask_logits)
+    # static clamps: small candidate pools (CFM segdbs, tiny test configs)
+    # must not exceed top_k capacities
+    d = min(post.dets_per_class, n)
 
     def per_class(scores_c):
         ok = roi_valid & (scores_c > post.score_thresh)
-        idx, keep = nms_indices(rois, scores_c, ok, post.nms_thresh,
-                                post.dets_per_class)
+        idx, keep = nms_indices(rois, scores_c, ok, post.nms_thresh, d)
         kept_scores = jnp.where(keep, scores_c[idx], 0.0)
         return idx, kept_scores, keep
 
     # vmap over foreground classes (class 0 = background skipped)
     fg_scores = cls_prob[:, 1:].T  # (C-1, N)
     idx_c, scores_c, keep_c = jax.vmap(per_class)(fg_scores)
-
-    d = post.dets_per_class
     flat_idx = idx_c.reshape((c - 1) * d)
     flat_scores = scores_c.reshape((c - 1) * d)
     flat_valid = keep_c.reshape((c - 1) * d)

@@ -48,13 +48,12 @@ def mcg_candidates(mat_path: str, top_k: int):
 
 
 def crop_resize(mask: np.ndarray, box: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
     x1, y1, x2, y2 = box.astype(int)
     crop = mask[y1:y2 + 1, x1:x2 + 1].astype(np.float32)
-    ys = np.clip(((np.arange(size) + 0.5) * crop.shape[0] / size).astype(int),
-                 0, crop.shape[0] - 1)
-    xs = np.clip(((np.arange(size) + 0.5) * crop.shape[1] / size).astype(int),
-                 0, crop.shape[1] - 1)
-    return crop[np.ix_(ys, xs)]
+    # area filter per tools/mask_fidelity_study.py
+    return cv2.resize(crop, (size, size), interpolation=cv2.INTER_AREA)
 
 
 def main():

@@ -22,6 +22,12 @@ def parse_args():
     ap.add_argument("--npz", default=None)
     ap.add_argument("--coco-ap", action="store_true",
                     help="also report COCO-style AP^r@[.5:.95]")
+    ap.add_argument("--segdb", default=None,
+                    help="CFM mode: dir of per-image segment-proposal pkls "
+                         "(tools/prepare_mcg_maskdb.py output); classifies "
+                         "precomputed segments instead of running the RPN")
+    ap.add_argument("--seg-top-k", type=int, default=300,
+                    help="CFM: static per-image segment capacity (padded)")
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
@@ -90,7 +96,40 @@ def main():
     else:
         print("WARNING: random weights (plumbing smoke)")
 
-    pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=args.conf))
+    post = PostCfg.from_cfg(score_thresh=args.conf)
+    pipe = MNCPipeline(model, params, post)
+
+    if args.segdb:
+        from mnc_tpu.models.cfm import cfm_detect
+
+        k = args.seg_top_k
+        jit_cfm = jax.jit(lambda p, im, ii, b, m, v: cfm_detect(
+            model, p, im, ii, b, m, v, post))
+
+        def load_segs(image_id):
+            path = osp.join(args.segdb, f"{image_id}.pkl")
+            if not osp.exists(path):
+                raise SystemExit(
+                    f"--segdb: no segment proposals for image {image_id!r} "
+                    f"({path} missing) — run tools/prepare_mcg_maskdb.py "
+                    f"over the full image list first")
+            with open(path, "rb") as f:
+                rec = pickle.load(f)
+            nseg = min(len(rec["boxes"]), k)
+            boxes = np.zeros((k, 4), np.float32)
+            masks = np.zeros((k, cfg.MASK_SIZE, cfg.MASK_SIZE), np.float32)
+            valid = np.zeros((k,), bool)
+            boxes[:nseg] = rec["boxes"][:nseg]
+            src = rec["masks"][:nseg]
+            if nseg and src.shape[-1] != cfg.MASK_SIZE:
+                import cv2
+
+                src = np.stack([cv2.resize(m, (cfg.MASK_SIZE, cfg.MASK_SIZE),
+                                           interpolation=cv2.INTER_AREA)
+                                for m in src])
+            masks[:nseg] = src
+            valid[:nseg] = True
+            return boxes, masks, valid
 
     detections = []
     timer = Timer()
@@ -100,7 +139,38 @@ def main():
         print(f"loaded {len(detections)} cached detections from {args.cache}")
     else:
         for n, i in enumerate(imdb.image_index):
-            if is_synth:
+            if args.segdb:
+                if is_synth:
+                    ex = imdb.example(i)
+                    canvas, info = ex["image"], ex["im_info"]
+                else:
+                    import cv2
+
+                    from mnc_tpu.utils.blob import prep_im_for_blob
+
+                    im = cv2.imread(imdb.image_path_at(n))
+                    canvas, info = prep_im_for_blob(
+                        im, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
+                        tuple(cfg.STATIC.CANVAS))
+                boxes, masks, valid = load_segs(i)
+                boxes = boxes * float(info[2])  # segdb is original-image coords
+                timer.tic()
+                out = jax.device_get(jit_cfm(
+                    params, jnp.asarray(canvas), jnp.asarray(info),
+                    jnp.asarray(boxes), jnp.asarray(masks), jnp.asarray(valid)))
+                timer.toc()
+                if not is_synth:  # unmold canvas masks to original resolution
+                    from mnc_tpu.pipeline.inference import _resize_mask_to
+
+                    h, w = im.shape[:2]
+                    sh, sw = int(info[0]), int(info[1])
+                    out["canvas_masks"] = np.stack([
+                        _resize_mask_to(m[:sh, :sw], (h, w))
+                        for m in out["canvas_masks"]]) if len(
+                            out["canvas_masks"]) else out["canvas_masks"]
+                    out["boxes"] = out["boxes"] / float(info[2])
+                detections.extend(collect_detections(out, i, args.conf))
+            elif is_synth:
                 ex = imdb.example(i)
                 canvas, info = ex["image"], ex["im_info"]
                 timer.tic()
