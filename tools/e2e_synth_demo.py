@@ -116,12 +116,15 @@ def main():
                        PostCfg(dets_per_class=8, max_per_image=12, vote_top_k=24,
                                score_thresh=0.01))
 
+    from mnc_tpu.pipeline.inference import unpack_canvas_masks
+
     def evaluate(params_now, verbose=False):
-        pipe.params = jax.device_get(params_now)
+        pipe.params = params_now  # device params; avoid host round-trip
         dets = []
         for i, ex in zip(val.image_index, val_ex):
-            out = jax.device_get(pipe.detect_canvas(jnp.asarray(ex["image"]),
-                                                    jnp.asarray(ex["im_info"])))
+            out = jax.device_get(pipe.detect_canvas_packed(
+                jnp.asarray(ex["image"]), jnp.asarray(ex["im_info"])))
+            out = unpack_canvas_masks(out, arch.canvas[1])
             dets.extend(collect_detections(out, i, score_thresh=0.05))
         r5 = eval_sds(dets, gt, val.num_classes, 0.5)
         r7 = eval_sds(dets, gt, val.num_classes, 0.7)
