@@ -172,6 +172,9 @@ __C.TEST.USE_GPU_MASK_MERGE = True  # compat; mask voting is on-device on TPU
 __C.TEST.MASK_MERGE_IOU_THRESH = 0.5
 __C.TEST.MASK_MERGE_NMS_THRESH = 0.3
 __C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
+# Run portrait images on the transposed canvas (exact reference scale rule)
+# instead of extra-downscaling them into the landscape canvas.
+__C.TEST.AUTO_PORTRAIT = True
 __C.TEST.MAX_PER_IMAGE = 100
 
 # Reference-YAML keys accepted for 1:1 config translation but with no TPU
@@ -208,6 +211,18 @@ def _coerce(v: Any, old: Any, key: str) -> Any:
     if isinstance(old, np.ndarray):
         return np.array(v, dtype=old.dtype)
     if isinstance(old, tuple):
+        if isinstance(v, str):
+            # YAML doesn't parse "(640, 1024)" — literal-eval it rather than
+            # silently producing a tuple of characters
+            import ast
+
+            try:
+                v = ast.literal_eval(v)
+            except (SyntaxError, ValueError) as e:
+                raise ValueError(
+                    f"cannot parse {v!r} as a sequence for {key}") from e
+        if not isinstance(v, (list, tuple)):
+            raise ValueError(f"cannot coerce {v!r} to tuple for {key}")
         return tuple(v)
     if isinstance(old, bool):
         if isinstance(v, (bool, int)):

@@ -144,39 +144,52 @@ class MNCPipeline:
         self.params = params
         self.arch: MNCArch = model.arch
         self.post = post or PostCfg.from_cfg()
+        self._run = self._make_run(model)
+        # portrait/landscape variants share params (convs + fixed-size warp
+        # grids are canvas-independent); built lazily per orientation
+        self._variants = {model.arch.canvas: (model, self._run)}
 
-        def _candidates(net_out, axis=0):
-            """(rois, valid, prob, masks) for postprocess — optionally pooling
-            the 5-stage first-pass detections too (PostCfg.vote_both_passes)."""
-            keys = ("rois", "roi_valid", "cls_prob", "mask_logits")
-            r, v, c, m = (net_out[k] for k in keys)
-            if self.post.vote_both_passes and model.arch.n_stages == 5:
-                r = jnp.concatenate([r, net_out["stage3_rois"]], axis)
-                v = jnp.concatenate([v, net_out["roi_valid"]], axis)
-                c = jnp.concatenate([c, net_out["stage3_cls_prob"]], axis)
-                m = jnp.concatenate([m, net_out["stage3_mask_logits"]], axis)
-            return r, v, c, m
-
-        @jax.jit
-        def _run(params, image, im_info):
-            net_out = model.apply(params, image, im_info)
-            r, v, c, m = _candidates(net_out)
-            return postprocess_detections(r, v, c, m, self.post, self.arch.canvas)
-
-        self._run = _run
-
-        @jax.jit
-        def _run_batch(params, images, im_infos):
+        def _run_batch_impl(params, images, im_infos):
             # batched cascade (fc heads amortized over B·N RoIs), then
             # per-image postprocess
             net_out = model.apply(params, images, im_infos, method=MNC.apply_batch)
-            r, v, c, m = _candidates(net_out, axis=1)
+            r, v, c, m = self._candidates(model, net_out, axis=1)
             return jax.vmap(
                 lambda r_, v_, c_, m_: postprocess_detections(
                     r_, v_, c_, m_, self.post, self.arch.canvas)
             )(r, v, c, m)
 
-        self._run_batch = _run_batch
+        self._run_batch = jax.jit(_run_batch_impl)
+
+    def _candidates(self, model, net_out, axis=0):
+        """(rois, valid, prob, masks) for postprocess — optionally pooling
+        the 5-stage first-pass detections too (PostCfg.vote_both_passes)."""
+        keys = ("rois", "roi_valid", "cls_prob", "mask_logits")
+        r, v, c, m = (net_out[k] for k in keys)
+        if self.post.vote_both_passes and model.arch.n_stages == 5:
+            r = jnp.concatenate([r, net_out["stage3_rois"]], axis)
+            v = jnp.concatenate([v, net_out["roi_valid"]], axis)
+            c = jnp.concatenate([c, net_out["stage3_cls_prob"]], axis)
+            m = jnp.concatenate([m, net_out["stage3_mask_logits"]], axis)
+        return r, v, c, m
+
+    def _make_run(self, model):
+        @jax.jit
+        def _run(params, image, im_info):
+            net_out = model.apply(params, image, im_info)
+            r, v, c, m = self._candidates(model, net_out)
+            return postprocess_detections(r, v, c, m, self.post,
+                                          model.arch.canvas)
+
+        return _run
+
+    def _variant(self, canvas_hw: tuple[int, int]):
+        """(model, run_fn) for a given canvas orientation (compiled lazily)."""
+        if canvas_hw not in self._variants:
+            arch2 = dataclasses.replace(self.arch, canvas=canvas_hw)
+            model2 = MNC(arch=arch2)
+            self._variants[canvas_hw] = (model2, self._make_run(model2))
+        return self._variants[canvas_hw]
 
     def detect_canvas(self, canvas: jnp.ndarray, im_info: jnp.ndarray) -> dict:
         return self._run(self.params, canvas, im_info)
@@ -202,15 +215,26 @@ class MNCPipeline:
         """Batched throughput path: (B, H, W, 3) + (B, 3) → batched dets."""
         return self._run_batch(self.params, canvases, im_infos)
 
-    def detect(self, bgr_image: np.ndarray) -> dict:
+    def detect(self, bgr_image: np.ndarray, auto_orient: bool | None = None) -> dict:
         """Full host API: BGR uint8 image → original-resolution detections.
 
         Returns numpy dict: boxes (K, 4) in original coords, scores (K,),
         classes (K,), valid (K,), masks (K, M, M) soft, and full_masks
         (K, H_orig, W_orig) binary if pasting is enabled.
+
+        ``auto_orient`` (default cfg.TEST.AUTO_PORTRAIT): portrait images run
+        on the transposed (portrait) canvas so they get the exact reference
+        scale rule instead of extra downscale into the landscape canvas.
         """
-        canvas, im_info = prep_im_for_blob(bgr_image, canvas_hw=self.arch.canvas)
-        dets = jax.device_get(self.detect_canvas(jnp.asarray(canvas), jnp.asarray(im_info)))
+        if auto_orient is None:
+            auto_orient = bool(cfg.TEST.AUTO_PORTRAIT)
+        h0, w0 = bgr_image.shape[:2]
+        canvas_hw = self.arch.canvas
+        if auto_orient and (h0 > w0) != (canvas_hw[0] > canvas_hw[1]):
+            canvas_hw = (canvas_hw[1], canvas_hw[0])
+        _, run = self._variant(canvas_hw)
+        canvas, im_info = prep_im_for_blob(bgr_image, canvas_hw=canvas_hw)
+        dets = jax.device_get(run(self.params, jnp.asarray(canvas), jnp.asarray(im_info)))
         scale = float(im_info[2])
         out = {
             "boxes": dets["boxes"] / scale,

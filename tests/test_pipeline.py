@@ -139,3 +139,51 @@ def test_detect_canvas_batch_matches_single(pipeline):
             np.testing.assert_allclose(
                 np.asarray(batched[k][b]), np.asarray(single[k]),
                 rtol=2e-3, atol=2e-3, err_msg=k)
+
+
+def test_detect_auto_orients_portrait(tiny_pipe_setup=None):
+    """Portrait input runs on the transposed canvas: full reference scale,
+    detections mapped back to original coordinates."""
+    import cv2  # noqa: F401  (loader path parity)
+
+    from mnc_tpu.config import cfg
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
+    from mnc_tpu.utils.blob import im_scale_for
+
+    arch = MNCArch(canvas=(64, 96), anchor_scales=(1, 2, 4), num_classes=4,
+                   mask_size=9, warp_hw=4, n_stages=3,
+                   compute_dtype=jnp.float32, fc_dim=32, mask_fc_dim=16,
+                   pre_nms_top_n=32, post_nms_top_n=8, rpn_min_size=2.0)
+    model = MNC(arch=arch)
+    img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
+    info0 = jnp.array([64.0, 96.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img0, info0)
+    pipe = MNCPipeline(model, params,
+                       PostCfg(dets_per_class=4, max_per_image=6, vote_top_k=8))
+
+    portrait = (np.random.RandomState(0).rand(120, 60, 3) * 255).astype(np.uint8)
+    saved = cfg.TEST.SCALES, cfg.TEST.MAX_SIZE
+    try:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = (48,), 96
+        out = pipe.detect(portrait)
+        # the portrait variant was compiled for the transposed canvas
+        assert (96, 64) in pipe._variants
+        # the portrait canvas admits the full scale rule (no extra downscale)
+        s_port = im_scale_for((120, 60), 48, 96, (96, 64))
+        s_land = im_scale_for((120, 60), 48, 96, (64, 96))
+        assert s_port > s_land
+        # outputs are original-resolution
+        if out["valid"].any():
+            b = out["boxes"][out["valid"]]
+            assert (b[:, 2] <= 60).all() and (b[:, 3] <= 120).all()
+        assert out["full_masks"].shape[-2:] == (120, 60)
+        # landscape image still uses the primary canvas
+        land = (np.random.RandomState(1).rand(60, 120, 3) * 255).astype(np.uint8)
+        pipe.detect(land)
+        assert len(pipe._variants) == 2
+        # auto_orient=False forces the primary canvas
+        out2 = pipe.detect(portrait, auto_orient=False)
+        assert out2["full_masks"].shape[-2:] == (120, 60)
+    finally:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = saved
