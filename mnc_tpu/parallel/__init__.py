@@ -1,5 +1,6 @@
 """Device-mesh parallelism (replaces Caffe P2PSync, SURVEY.md §2.3)."""
 
+from mnc_tpu.parallel.spatial import shard_image, spatial_trunk_features  # noqa: F401
 from mnc_tpu.parallel.mesh import (  # noqa: F401
     data_parallel_eval_step,
     data_parallel_train_step,

@@ -113,3 +113,26 @@ def test_shard_batch_layout():
     for v in sharded.values():
         assert len(v.addressable_shards) == 8
         assert v.addressable_shards[0].data.shape[0] == 1
+
+
+def test_spatial_trunk_partitioning_matches_single_device(setup):
+    """Height-sharded trunk (XLA SPMD halo exchange) == unsharded trunk."""
+    from mnc_tpu.models.mnc import MNC
+    from mnc_tpu.parallel.spatial import shard_image, spatial_trunk_features
+
+    model, params, tx = setup
+    # the FEATURE map height (canvas_h/16 = 6) must divide over the axis:
+    # use 2 of the 8 virtual devices
+    mesh = make_mesh(axes={"data": 2}, devices=jax.devices()[:2])
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(*ARCH.canvas, 3).astype(np.float32) * 20)
+
+    ref = jax.jit(lambda p, im: model.apply(p, im, method=MNC.features))(
+        params, img)
+    fn = spatial_trunk_features(model, mesh)
+    out = fn(params, shard_image(img, mesh))
+    assert len(out.addressable_shards) == 2
+    assert out.addressable_shards[0].data.shape[0] == ref.shape[0] // 2
+    np.testing.assert_allclose(np.asarray(jax.device_get(out)),
+                               np.asarray(jax.device_get(ref)),
+                               rtol=1e-5, atol=1e-5)
