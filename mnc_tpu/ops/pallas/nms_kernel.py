@@ -31,20 +31,27 @@ def _nms_kernel(boxes_ref, valid_ref, out_ref, *, k, thresh):
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
     idx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
+    # Phase 1 (vectorized, like nms_kernel.cu's bitmask pass): full (K, K)
+    # suppression matrix S[i, j] = "i suppresses j" in VMEM.
+    iw = jnp.minimum(x2[:, None], x2[None, :]) - jnp.maximum(x1[:, None], x1[None, :]) + 1.0
+    ih = jnp.minimum(y2[:, None], y2[None, :]) - jnp.maximum(y1[:, None], y1[None, :]) + 1.0
+    inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+    iou = inter / (area[:, None] + area[None, :] - inter)
+    s_f = ((iou > thresh) & (idx[:, None] < idx[None, :])).astype(jnp.float32)
+
     out_ref[:] = valid_ref[:]
 
+    # Phase 2: the sequential scan the CUDA kernel ran on the HOST runs here
+    # on-chip.  Mosaic has no unaligned dynamic vector loads, so row i of S
+    # and keep[i] are extracted with one-hot MXU dots instead of slicing.
     def body(i, _):
-        keep_i = out_ref[i] > 0
-
-        @pl.when(keep_i)
-        def _():
-            iw = jnp.minimum(x2[i], x2) - jnp.maximum(x1[i], x1) + 1.0
-            ih = jnp.minimum(y2[i], y2) - jnp.maximum(y1[i], y1) + 1.0
-            inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
-            iou = inter / (area[i] + area - inter)
-            suppress = (iou > thresh) & (idx > i)
-            out_ref[:] = jnp.where(suppress, 0, out_ref[:]).astype(out_ref.dtype)
-
+        keep_vec = out_ref[:].astype(jnp.float32)
+        e = (idx == i).astype(jnp.float32)[None, :]  # (1, K) one-hot
+        keep_i = jnp.dot(e, keep_vec[:, None],
+                         preferred_element_type=jnp.float32)[0, 0] > 0.0
+        row = jnp.dot(e, s_f, preferred_element_type=jnp.float32)[0]  # (K,)
+        suppress = (row > 0.0) & keep_i
+        out_ref[:] = jnp.where(suppress, 0, out_ref[:]).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)

@@ -38,13 +38,14 @@ def _warp_kernel(rois_ref, feat_ref, out_ref, *, out_hw, spatial_scale, h, w, c)
     span_x = (x2 - x1 + 1.0) * spatial_scale
 
     # Hat-function interpolation weights, built from 2D iota.
-    p_idx = jax.lax.broadcasted_iota(jnp.float32, (ph, h), 0)
-    h_idx = jax.lax.broadcasted_iota(jnp.float32, (ph, h), 1)
+    # Mosaic allows only integer iota — build and convert
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (ph, h), 0).astype(jnp.float32)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (ph, h), 1).astype(jnp.float32)
     yc = y1 * spatial_scale + (p_idx + 0.5) / ph * span_y - 0.5
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - h_idx))  # (PH, H)
 
-    q_idx = jax.lax.broadcasted_iota(jnp.float32, (pw, w), 0)
-    w_idx = jax.lax.broadcasted_iota(jnp.float32, (pw, w), 1)
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (pw, w), 0).astype(jnp.float32)
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, (pw, w), 1).astype(jnp.float32)
     xc = x1 * spatial_scale + (q_idx + 0.5) / pw * span_x - 0.5
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(xc - w_idx))  # (PW, W)
 
