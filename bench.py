@@ -93,6 +93,9 @@ def _bench():
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--no-paste", action="store_true")
     ap.add_argument("--no-merge", action="store_true")
+    ap.add_argument("--vote-both", action="store_true",
+                    help="pool first-pass detections as voting candidates "
+                         "(PostCfg.vote_both_passes)")
     ap.add_argument("--trunk", default=None, choices=(None, "vgg16", "resnet50", "resnet101"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -119,6 +122,7 @@ def _bench():
         dets_per_class=16,
         paste=not args.no_paste,
         use_mask_merge=not args.no_merge,
+        vote_both_passes=args.vote_both,
     )
     model = MNC(arch=arch)
 
@@ -130,9 +134,17 @@ def _bench():
 
     def run_batch(params, images, im_infos):
         out = model.apply(params, images, im_infos, method=_MNC.apply_batch)
+        r, v, c, m = (out["rois"], out["roi_valid"], out["cls_prob"],
+                      out["mask_logits"])
+        if post.vote_both_passes and arch.n_stages == 5:
+            r = jnp.concatenate([r, out["stage3_rois"]], 1)
+            v = jnp.concatenate([v, out["roi_valid"]], 1)
+            c = jnp.concatenate([c, out["stage3_cls_prob"]], 1)
+            m = jnp.concatenate([m, out["stage3_mask_logits"]], 1)
         return jax.vmap(
-            lambda r, v, c, m: postprocess_detections(r, v, c, m, post, arch.canvas)
-        )(out["rois"], out["roi_valid"], out["cls_prob"], out["mask_logits"])
+            lambda r_, v_, c_, m_: postprocess_detections(r_, v_, c_, m_, post,
+                                                          arch.canvas)
+        )(r, v, c, m)
 
     rs = np.random.RandomState(0)
     images = jnp.asarray(
@@ -169,14 +181,20 @@ def _bench():
     img_s = args.batch / per_step
 
     wd.cancel()
+    metric = ("five_stage_inference_img_per_sec" if args.stages == 5
+              else "three_stage_inference_img_per_sec")
+    if args.vote_both:
+        metric += "_voteboth"
+    if args.trunk and args.trunk != "vgg16":
+        metric += f"_{args.trunk}"
     rec = {
-        "metric": "five_stage_inference_img_per_sec"
-        if args.stages == 5 else "three_stage_inference_img_per_sec",
+        "metric": metric,
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / 2.8, 2),
     }
-    if jax.default_backend() == "tpu":  # only cache real-hardware numbers
+    headline = args.stages == 5 and not args.vote_both and not args.trunk
+    if headline and jax.default_backend() == "tpu":  # cache hardware headline only
         try:
             with open(_CACHE, "w") as f:
                 json.dump(rec, f)

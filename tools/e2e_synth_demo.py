@@ -35,6 +35,9 @@ def main():
                     help="step-LR decay point (default 3/4 of iters)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="output")
+    ap.add_argument("--trunk", default="vgg16",
+                    choices=("vgg16", "resnet50", "resnet101"),
+                    help="conv trunk (--full-scale mode only)")
     ap.add_argument("--full-scale", action="store_true",
                     help="reference-scale arch: 640x1024 canvas, full VGG-16 "
                          "heads, MASK_SIZE 21, warp 14, anchors (8,16,32)x16")
@@ -61,7 +64,7 @@ def main():
             canvas=(640, 1024), anchor_scales=(8, 16, 32), num_classes=6,
             mask_size=21, warp_hw=14, n_stages=5, fc_dim=4096, mask_fc_dim=256,
             pre_nms_top_n=2048, post_nms_top_n=512, rpn_min_size=16.0,
-            trunk_frozen=0,
+            trunk=args.trunk, trunk_frozen=0,
         )
         train_cfg = dict(
             RPN_POSITIVE_OVERLAP=0.7, RPN_NEGATIVE_OVERLAP=0.3,

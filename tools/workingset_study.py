@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--pre-nms", type=int, nargs="*",
                     default=(512, 1024, 2048, 6000))
     ap.add_argument("--dets-per-class", type=int, nargs="*", default=(16, 100))
+    ap.add_argument("--append", default=None,
+                    help="append result JSON lines to this file (one config "
+                         "per process keeps tunnel sessions short)")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +107,9 @@ def main():
             "ms_per_img": round(t_det / len(val_ex) * 1e3, 1),
         }
         print(json.dumps(rec), flush=True)
+        if args.append:
+            with open(args.append, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         results.append(rec)
 
     for p in args.pre_nms:
