@@ -1,0 +1,243 @@
+"""Minimal .caffemodel (NetParameter protobuf) reader — no caffe required.
+
+The reference ships trained weights as ``.caffemodel`` files (serialized
+``caffe.NetParameter``).  This is a clean-room reader of just the fields a
+weight import needs, written against the public caffe.proto schema
+(BVLC/caffe, which caffe-mnc forks):
+
+    NetParameter: layers = 2 (V1LayerParameter, the MNC-era format)
+                  layer  = 100 (LayerParameter, the 1.0 format)
+    V1LayerParameter: name = 4 (string), blobs = 6
+    LayerParameter:   name = 1 (string), blobs = 7
+    BlobProto: data = 5 (packed float), shape = 7 (BlobShape),
+               legacy dims num/channels/height/width = 1..4 (varint)
+    BlobShape: dim = 1 (packed int64)
+
+Only those fields are decoded; everything else is skipped by wire type.
+Returns {layer_name: [np.ndarray, ...]} with caffe-native shapes
+((O, I, kH, kW) convs, (O, I) inner products).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_VARINT, _FIXED64, _LENGTH, _FIXED32 = 0, 1, 2, 5
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _skip(buf: memoryview, pos: int, wire: int) -> int:
+    if wire == _VARINT:
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire == _FIXED64:
+        return pos + 8
+    if wire == _FIXED32:
+        return pos + 4
+    if wire == _LENGTH:
+        n, pos = _read_varint(buf, pos)
+        return pos + n
+    raise ValueError(f"unsupported wire type {wire}")
+
+
+def _fields(buf: memoryview):
+    """Yield (field_number, wire_type, value_or_span) over one message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == _LENGTH:
+            ln, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos:pos + ln]
+            pos += ln
+        elif wire == _VARINT:
+            v, pos = _read_varint(buf, pos)
+            yield field, wire, v
+        elif wire == _FIXED32:
+            yield field, wire, buf[pos:pos + 4]
+            pos += 4
+        elif wire == _FIXED64:
+            yield field, wire, buf[pos:pos + 8]
+            pos += 8
+        else:
+            pos = _skip(buf, pos, wire)
+
+
+def _parse_blob(buf: memoryview) -> np.ndarray:
+    data_chunks: list[np.ndarray] = []
+    shape: list[int] = []
+    legacy = {}
+    for field, wire, val in _fields(buf):
+        if field == 5:  # data (float, usually packed)
+            if wire == _LENGTH:
+                data_chunks.append(np.frombuffer(val, dtype="<f4"))
+            else:  # unpacked fixed32
+                data_chunks.append(np.frombuffer(val, dtype="<f4"))
+        elif field == 7 and wire == _LENGTH:  # shape: BlobShape
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1:
+                    if w2 == _LENGTH:  # packed int64
+                        p = 0
+                        mv = v2
+                        while p < len(mv):
+                            d, p = _read_varint(mv, p)
+                            shape.append(d)
+                    else:
+                        shape.append(v2)
+        elif field in (1, 2, 3, 4) and wire == _VARINT:  # legacy N, C, H, W
+            legacy[field] = val
+    data = (np.concatenate(data_chunks) if data_chunks
+            else np.zeros((0,), np.float32))
+    if not shape and legacy:
+        shape = [legacy.get(i, 1) for i in (1, 2, 3, 4)]
+        # legacy blobs always carry 4 dims; squeeze leading 1s for fc
+        while len(shape) > 1 and shape[0] == 1:
+            shape = shape[1:]
+    if shape and int(np.prod(shape)) == data.size:
+        return data.reshape(shape)
+    return data
+
+
+def read_caffemodel(path: str) -> dict[str, list[np.ndarray]]:
+    """Parse a .caffemodel into {layer_name: [blob arrays]} (order kept)."""
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    out: dict[str, list[np.ndarray]] = {}
+    try:
+        items = list(_fields(buf))
+    except (ValueError, IndexError) as e:
+        raise ValueError(
+            f"{path} is not a caffemodel (protobuf parse failed: {e})") from e
+    for field, wire, val in items:
+        if wire != _LENGTH or field not in (2, 100):
+            continue
+        name_field = 4 if field == 2 else 1  # V1LayerParameter vs LayerParameter
+        blob_field = 6 if field == 2 else 7
+        name = None
+        blobs = []
+        for f2, w2, v2 in _fields(val):
+            if f2 == name_field and w2 == _LENGTH:
+                name = bytes(v2).decode("utf-8")
+            elif f2 == blob_field and w2 == _LENGTH:
+                blobs.append(_parse_blob(v2))
+        if name is not None and blobs:
+            out[name] = blobs
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# MNC weight import
+# --------------------------------------------------------------------------- #
+
+# caffe layer name → (params path under ["params"], kind)
+# kind: "conv" (O,I,kH,kW → kH,kW,I,O), "fc" (O, CHW → HWC,O with spatial
+# input), "fc_flat" (O,I → I,O, no spatial reorder)
+_MNC_LAYER_MAP = {
+    **{n: (("trunk", n), "conv") for n in (
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2",
+        "conv3_1", "conv3_2", "conv3_3",
+        "conv4_1", "conv4_2", "conv4_3",
+        "conv5_1", "conv5_2", "conv5_3")},
+    "rpn_conv/3x3": (("rpn_head", "rpn_conv"), "conv"),
+    "rpn_conv_3x3": (("rpn_head", "rpn_conv"), "conv"),
+    "rpn_cls_score": (("rpn_head", "rpn_cls_score"), "conv"),
+    "rpn_bbox_pred": (("rpn_head", "rpn_bbox_pred"), "conv"),
+    "fc6": (("classify_head", "fc6"), "fc"),
+    "fc7": (("classify_head", "fc7"), "fc_flat"),
+    "cls_score": (("classify_head", "cls_score"), "fc_flat"),
+    "bbox_pred": (("classify_head", "bbox_pred"), "fc_flat"),
+    # mask branch (⚠ names recalled from the public prototxt; unmatched
+    # layers are reported, not silently dropped)
+    "fc6_maskest": (("mask_head", "fc_mask"), "fc"),
+    "mask_pred": (("mask_head", "mask_pred"), "fc_flat"),
+}
+
+
+def _dig(tree: dict, path: tuple[str, ...]) -> dict | None:
+    for p in path:
+        if not isinstance(tree, dict) or p not in tree:
+            return None
+        tree = tree[p]
+    return tree
+
+
+def load_mnc_caffemodel(path: str, params: dict, strict: bool = False) -> dict:
+    """Import a reference .caffemodel into an MNC param tree.
+
+    Converts conv kernels (O,I,kH,kW)→(kH,kW,I,O) and inner products
+    (O,I)→(I,O), permuting spatially-flattened fc inputs from caffe's CHW
+    order to our HWC order (the load-bearing subtlety: fc6 reads the
+    7×7×512 pooled features, flattened in different axis orders).
+
+    Returns updated params; prints a report of matched/skipped layers.
+    """
+    import copy
+
+    blobs = read_caffemodel(path)
+    params = copy.deepcopy(params)
+    matched, skipped, mismatched = [], [], []
+    for lname, bs in blobs.items():
+        if lname not in _MNC_LAYER_MAP or not bs:
+            if bs:  # only layers that actually carry weights are interesting
+                skipped.append(lname)
+            continue
+        path_keys, kind = _MNC_LAYER_MAP[lname]
+        dst = _dig(params["params"], path_keys)
+        if dst is None:
+            skipped.append(f"{lname} (no {'/'.join(path_keys)} in model)")
+            continue
+        w = np.asarray(bs[0], np.float32)
+        b = np.asarray(bs[1], np.float32) if len(bs) > 1 else None
+        if kind == "conv":
+            w = np.transpose(w, (2, 3, 1, 0))
+        elif kind == "fc":
+            o, i = w.shape
+            tgt_i = dst["kernel"].shape[0]
+            if i == tgt_i:
+                # infer (C, H, W) from the destination's HWC flatten
+                # dst input is H*W*C with square H=W
+                c = None
+                for ch in (512, 1024, 2048, 256, 128):
+                    if i % ch == 0 and int(round((i // ch) ** 0.5)) ** 2 == i // ch:
+                        c = ch
+                        break
+                if c is None:
+                    mismatched.append(f"{lname}: cannot infer CHW of {i}")
+                    continue
+                hw = int(round((i // c) ** 0.5))
+                w = (w.reshape(o, c, hw, hw).transpose(0, 2, 3, 1)
+                     .reshape(o, i).T)
+            else:
+                mismatched.append(f"{lname}: in {i} != {tgt_i}")
+                continue
+        else:  # fc_flat
+            w = w.T
+        if dst["kernel"].shape != w.shape:
+            mismatched.append(
+                f"{lname}: {w.shape} vs model {dst['kernel'].shape}")
+            continue
+        dst["kernel"] = w
+        if b is not None and "bias" in dst and dst["bias"].shape == b.shape:
+            dst["bias"] = b
+        matched.append(lname)
+    print(f"caffemodel import: {len(matched)} layers matched"
+          + (f"; skipped {skipped}" if skipped else "")
+          + (f"; MISMATCHED {mismatched}" if mismatched else ""))
+    if strict and (skipped or mismatched):
+        raise ValueError(f"caffemodel import incomplete: skipped={skipped} "
+                         f"mismatched={mismatched}")
+    return params

@@ -20,6 +20,10 @@ def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("images", nargs="*")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--caffemodel", default=None,
+                    help="reference .caffemodel weights (direct import; "
+                         "run with --set NET.SUPPRESS_UNTRAINABLE_ANCHORS "
+                         "False for foreign weights)")
     ap.add_argument("--npz", default=None)
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--conf", type=float, default=0.7)
@@ -44,7 +48,17 @@ def main():
     img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
     info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
-    if args.npz:
+    if args.caffemodel:
+        from mnc_tpu.utils.caffemodel import load_mnc_caffemodel
+
+        params = load_mnc_caffemodel(args.caffemodel, params)
+        # caffemodels carry UN-normalized bbox_pred (snapshot semantics)
+        import dataclasses as _dc
+
+        arch = _dc.replace(arch, bbox_pred_normalized=False)
+        model = MNC(arch=arch)
+        print(f"loaded reference weights from {args.caffemodel}")
+    elif args.npz:
         from mnc_tpu.utils.checkpoint import arch_for_npz, load_npz
 
         params = load_npz(args.npz)

@@ -100,6 +100,10 @@ def main():
             from mnc_tpu.utils.weights import load_vgg16_caffe_npz
 
             params = load_vgg16_caffe_npz(args.weights, params)
+        elif args.weights.endswith(".caffemodel"):
+            from mnc_tpu.utils.caffemodel import load_mnc_caffemodel
+
+            params = load_mnc_caffemodel(args.weights, params)
         else:
             from mnc_tpu.utils.weights import load_vgg16_torchvision
 
