@@ -141,7 +141,10 @@ class MNCPipeline:
 
     def __init__(self, model: MNC, params: Any, post: PostCfg | None = None):
         self.model = model
-        self.params = params
+        # stage params on device ONCE: numpy leaves (load_npz/caffemodel
+        # imports) would otherwise re-upload the full tree on every call —
+        # catastrophic over a slow device link
+        self.params = jax.device_put(params)
         self.arch: MNCArch = model.arch
         self.post = post or PostCfg.from_cfg()
         self._run = self._make_run(model)

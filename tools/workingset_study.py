@@ -51,7 +51,9 @@ def main():
         pre_nms_top_n=2048, post_nms_top_n=304, rpn_min_size=16.0,
         trunk_frozen=0,
     )
-    params = load_npz(args.params)
+    # device_put ONCE — numpy params would re-upload ~0.5 GB per jitted call
+    # over the tunnel (the mistake that made the first run look wedged)
+    params = jax.device_put(load_npz(args.params))
     val = SyntheticIMDB(canvas_hw=base.canvas, num_classes=base.num_classes,
                         max_gt=6, gt_mask_size=28,
                         num_images=args.eval_images, seed=99)
