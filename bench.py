@@ -97,6 +97,10 @@ def _bench():
                     help="pool first-pass detections as voting candidates "
                          "(PostCfg.vote_both_passes)")
     ap.add_argument("--trunk", default=None, choices=(None, "vgg16", "resnet50", "resnet101"))
+    ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None,
+                    help="cfg overrides, e.g. --set TEST.RPN_PRE_NMS_TOP_N 6000 "
+                         "STATIC.TEST_PRE_NMS_TOP_N 6000 (non-headline: "
+                         "metric gets a _cfg suffix, cache untouched)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--watchdog", type=float,
@@ -111,9 +115,12 @@ def _bench():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from mnc_tpu.config import cfg_from_list
     from mnc_tpu.models.mnc import MNC, MNCArch
     from mnc_tpu.pipeline.inference import PostCfg, postprocess_detections
 
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
     over = dict(n_stages=args.stages)
     if args.trunk:
         over["trunk"] = args.trunk
@@ -187,13 +194,16 @@ def _bench():
         metric += "_voteboth"
     if args.trunk and args.trunk != "vgg16":
         metric += f"_{args.trunk}"
+    if args.set_cfgs:
+        metric += "_cfg"
     rec = {
         "metric": metric,
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / 2.8, 2),
     }
-    headline = args.stages == 5 and not args.vote_both and not args.trunk
+    headline = (args.stages == 5 and not args.vote_both and not args.trunk
+                and not args.set_cfgs)
     if headline and jax.default_backend() == "tpu":  # cache hardware headline only
         try:
             with open(_CACHE, "w") as f:
