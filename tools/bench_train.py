@@ -51,7 +51,13 @@ def main():
         "RPN_FG_FRACTION", "BATCH_SIZE", "FG_FRACTION", "FG_THRESH",
         "BG_THRESH_HI", "BG_THRESH_LO")}
 
-    data = SyntheticShapes(canvas_hw=arch.canvas, num_classes=arch.num_classes,
+    from mnc_tpu.data.synthetic import SHAPE_NAMES
+
+    # the generator draws <= len(SHAPE_NAMES) fg classes; a 21-class arch
+    # just sees labels from the low range (valid subset)
+    data = SyntheticShapes(canvas_hw=arch.canvas,
+                           num_classes=min(arch.num_classes,
+                                           1 + len(SHAPE_NAMES)),
                            max_gt=min(int(cfg.STATIC.MAX_GT), 8), gt_mask_size=28,
                            n_range=(2, 5), seed=0)
     if args.batch == 1:
