@@ -175,6 +175,11 @@ __C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
 # Run portrait images on the transposed canvas (exact reference scale rule)
 # instead of extra-downscaling them into the landscape canvas.
 __C.TEST.AUTO_PORTRAIT = True
+# Optional smaller canvas sizes for detect(): each image runs on the smallest
+# bucket that admits its full reference scale (trunk compute ~ area).  Every
+# entry compiles one extra program variant.  Empty = single canvas.
+# Example: ((480, 640), (512, 864))
+__C.TEST.CANVAS_BUCKETS = ()
 __C.TEST.MAX_PER_IMAGE = 100
 
 # Reference-YAML keys accepted for 1:1 config translation but with no TPU

@@ -186,6 +186,37 @@ class MNCPipeline:
 
         return _run
 
+    def _pick_canvas(self, h0: int, w0: int, auto_orient: bool) -> tuple[int, int]:
+        """Smallest canvas that admits the full reference scale for this
+        image: the primary canvas, its transpose (auto_orient), and any
+        TEST.CANVAS_BUCKETS entries (orientation-matched).  Smaller canvases
+        cut trunk compute ~proportionally to area; each compiles one extra
+        program variant."""
+        canvas = self.arch.canvas
+        if auto_orient and (h0 > w0) != (canvas[0] > canvas[1]):
+            canvas = (canvas[1], canvas[0])
+        buckets = [tuple(b) for b in (cfg.TEST.CANVAS_BUCKETS or ())]
+        if not buckets:
+            return canvas
+        stride = self.arch.feat_stride
+        cands = [canvas]
+        for bh, bw in buckets:
+            assert bh % stride == 0 and bw % stride == 0, \
+                f"CANVAS_BUCKETS entries must be multiples of {stride}"
+            if auto_orient and (h0 > w0) != (bh > bw):
+                bh, bw = bw, bh
+            cands.append((bh, bw))
+        # raw reference scale (shorter side → SCALES[0], cap MAX_SIZE)
+        short, long = min(h0, w0), max(h0, w0)
+        scale = float(cfg.TEST.SCALES[0]) / short
+        if round(scale * long) > cfg.TEST.MAX_SIZE:
+            scale = float(cfg.TEST.MAX_SIZE) / long
+        hs, ws = h0 * scale, w0 * scale
+        fitting = [b for b in cands if b[0] >= hs and b[1] >= ws]
+        if not fitting:
+            return canvas
+        return min(fitting, key=lambda b: b[0] * b[1])
+
     def _variant(self, canvas_hw: tuple[int, int]):
         """(model, run_fn) for a given canvas orientation (compiled lazily)."""
         if canvas_hw not in self._variants:
@@ -232,9 +263,7 @@ class MNCPipeline:
         if auto_orient is None:
             auto_orient = bool(cfg.TEST.AUTO_PORTRAIT)
         h0, w0 = bgr_image.shape[:2]
-        canvas_hw = self.arch.canvas
-        if auto_orient and (h0 > w0) != (canvas_hw[0] > canvas_hw[1]):
-            canvas_hw = (canvas_hw[1], canvas_hw[0])
+        canvas_hw = self._pick_canvas(h0, w0, auto_orient)
         _, run = self._variant(canvas_hw)
         canvas, im_info = prep_im_for_blob(bgr_image, canvas_hw=canvas_hw)
         dets = jax.device_get(run(self.params, jnp.asarray(canvas), jnp.asarray(im_info)))

@@ -187,3 +187,41 @@ def test_detect_auto_orients_portrait(tiny_pipe_setup=None):
         assert out2["full_masks"].shape[-2:] == (120, 60)
     finally:
         cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = saved
+
+
+def test_canvas_buckets_pick_smallest_fitting():
+    from mnc_tpu.config import cfg
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
+
+    arch = MNCArch(canvas=(128, 192), anchor_scales=(1, 2, 4), num_classes=4,
+                   mask_size=9, warp_hw=4, n_stages=3,
+                   compute_dtype=jnp.float32, fc_dim=32, mask_fc_dim=16,
+                   pre_nms_top_n=32, post_nms_top_n=8, rpn_min_size=2.0)
+    model = MNC(arch=arch)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((*arch.canvas, 3), jnp.float32),
+                        jnp.array([128.0, 192.0, 1.0]))
+    pipe = MNCPipeline(model, params,
+                       PostCfg(dets_per_class=4, max_per_image=6, vote_top_k=8))
+    saved = cfg.TEST.SCALES, cfg.TEST.MAX_SIZE, cfg.TEST.CANVAS_BUCKETS
+    try:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = (64,), 192
+        cfg.TEST.CANVAS_BUCKETS = ((64, 96),)
+        # small landscape image: scaled 64x85 fits the (64, 96) bucket
+        assert pipe._pick_canvas(60, 80, True) == (64, 96)
+        # wide image: scaled 64x171 needs the full canvas
+        assert pipe._pick_canvas(60, 160, True) == (128, 192)
+        # portrait small image: oriented bucket (96, 64)
+        assert pipe._pick_canvas(80, 60, True) == (96, 64)
+        # end to end through detect(): small image runs on the bucket variant
+        im = (np.random.RandomState(0).rand(60, 80, 3) * 255).astype(np.uint8)
+        out = pipe.detect(im)
+        assert (64, 96) in pipe._variants
+        assert out["full_masks"].shape[-2:] == (60, 80)
+        # buckets not multiple of stride are rejected
+        cfg.TEST.CANVAS_BUCKETS = ((50, 96),)
+        with pytest.raises(AssertionError, match="multiples"):
+            pipe._pick_canvas(60, 80, True)
+    finally:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE, cfg.TEST.CANVAS_BUCKETS = saved
