@@ -65,6 +65,9 @@ def main():
             mask_size=21, warp_hw=14, n_stages=5, fc_dim=4096, mask_fc_dim=256,
             pre_nms_top_n=2048, post_nms_top_n=512, rpn_min_size=16.0,
             trunk=args.trunk, trunk_frozen=0,
+            # deep trunks at full canvas exceed 16 GB HBM in backward without
+            # rematerialization (observed: resnet101 batch 8 OOM)
+            remat_trunk=args.trunk != "vgg16",
         )
         train_cfg = dict(
             RPN_POSITIVE_OVERLAP=0.7, RPN_NEGATIVE_OVERLAP=0.3,
