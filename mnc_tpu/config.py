@@ -81,12 +81,14 @@ __C.STATIC.CANVAS = (640, 1024)
 # Anchors are laid over the stride-16 feature grid of the canvas.
 __C.STATIC.FEAT_STRIDE = 16
 # Static #proposals kept after top-k pre-NMS / after NMS (train, test).
-# Reference: 12000/2000 train, 6000/300 test.  On TPU the pre-NMS top-k is the
-# O(K^2) NMS working set, so we default lower with no measurable mAP impact at
-# canvas scale (23040 total anchors).
+# Reference: 12000/2000 train, 6000/300 test.  TEST defaults to the full
+# reference 6000 working set (runnable via the tiled NMS; measured cost 3.7%
+# of img/s for +1.3/+0.9 mAP — docs/results/workingset_r2.jsonl).  TRAIN
+# stays at 2048: convergence is strong there and the train step is the
+# throughput-critical path.
 __C.STATIC.TRAIN_PRE_NMS_TOP_N = 2048
 __C.STATIC.TRAIN_POST_NMS_TOP_N = 512
-__C.STATIC.TEST_PRE_NMS_TOP_N = 1024
+__C.STATIC.TEST_PRE_NMS_TOP_N = 6000
 __C.STATIC.TEST_POST_NMS_TOP_N = 304  # padded 300 (multiple of 8 sublanes)
 # Max ground-truth instances per image (padded).
 __C.STATIC.MAX_GT = 32
