@@ -26,6 +26,8 @@ def parse_args():
                          "False for foreign weights)")
     ap.add_argument("--npz", default=None)
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     ap.add_argument("--conf", type=float, default=0.7)
     ap.add_argument("--cpu", action="store_true")
     return ap.parse_args()
@@ -38,6 +40,13 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    from mnc_tpu.config import cfg_from_file, cfg_from_list
+
+    if args.cfg:
+        cfg_from_file(args.cfg)
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
 
     from mnc_tpu import native
     from mnc_tpu.models.mnc import MNC, MNCArch
