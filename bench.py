@@ -106,6 +106,9 @@ def _bench():
     ap.add_argument("--watchdog", type=float,
                     default=float(os.environ.get("MNC_BENCH_TIMEOUT", 2400)))
     args = ap.parse_args()
+    if args.vote_both and args.stages != 5:
+        ap.error("--vote-both requires --stages 5 (first-pass pooling "
+                 "only exists in the 5-stage cascade)")
 
     wd = _watchdog(args.watchdog)
 
@@ -139,15 +142,11 @@ def _bench():
 
     from mnc_tpu.models.mnc import MNC as _MNC
 
+    from mnc_tpu.pipeline.inference import vote_candidates
+
     def run_batch(params, images, im_infos):
         out = model.apply(params, images, im_infos, method=_MNC.apply_batch)
-        r, v, c, m = (out["rois"], out["roi_valid"], out["cls_prob"],
-                      out["mask_logits"])
-        if post.vote_both_passes and arch.n_stages == 5:
-            r = jnp.concatenate([r, out["stage3_rois"]], 1)
-            v = jnp.concatenate([v, out["roi_valid"]], 1)
-            c = jnp.concatenate([c, out["stage3_cls_prob"]], 1)
-            m = jnp.concatenate([m, out["stage3_mask_logits"]], 1)
+        r, v, c, m = vote_candidates(out, post, arch.n_stages, axis=1)
         return jax.vmap(
             lambda r_, v_, c_, m_: postprocess_detections(r_, v_, c_, m_, post,
                                                           arch.canvas)
@@ -196,6 +195,8 @@ def _bench():
         metric += f"_{args.trunk}"
     if args.set_cfgs:
         metric += "_cfg"
+    if args.no_paste or args.no_merge:
+        metric += "_nopost"
     rec = {
         "metric": metric,
         "value": round(img_s, 2),
@@ -203,7 +204,8 @@ def _bench():
         "vs_baseline": round(img_s / 2.8, 2),
     }
     headline = (args.stages == 5 and not args.vote_both and not args.trunk
-                and not args.set_cfgs)
+                and not args.set_cfgs and not args.no_paste
+                and not args.no_merge)
     if headline and jax.default_backend() == "tpu":  # cache hardware headline only
         try:
             with open(_CACHE, "w") as f:

@@ -76,14 +76,11 @@ def make_example(
     gt_valid[:g] = True
     src_masks = mask_entry["masks"][:g]
     if src_masks.shape[-1] != gt_mask_size and g > 0:
-        import cv2
+        from mnc_tpu.utils.blob import resize_mask_area
 
         s = gt_mask_size
-        # area filter (not nearest): tools/mask_fidelity_study.py
-        src_masks = np.stack([
-            cv2.resize(m.astype(np.float32), (s, s),
-                       interpolation=cv2.INTER_AREA)
-            for m in src_masks])
+        # area filter when cv2 is present (tools/mask_fidelity_study.py)
+        src_masks = np.stack([resize_mask_area(m, (s, s)) for m in src_masks])
     gt_masks[:g] = src_masks
 
     return {

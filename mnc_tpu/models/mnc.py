@@ -133,10 +133,13 @@ class MNCArch:
                                cfg.TRAIN.RPN_PRE_NMS_TOP_N) if train
                            else min(cfg.STATIC.TEST_PRE_NMS_TOP_N,
                                     cfg.TEST.RPN_PRE_NMS_TOP_N)),
+            # reference knob capped by STATIC, rounded up to the 8-sublane
+            # pad (STATIC.TEST_POST_NMS_TOP_N=304 IS the padded 300)
             post_nms_top_n=(min(cfg.STATIC.TRAIN_POST_NMS_TOP_N,
-                                cfg.TRAIN.RPN_POST_NMS_TOP_N) if train
+                                -(-cfg.TRAIN.RPN_POST_NMS_TOP_N // 8) * 8)
+                            if train
                             else min(cfg.STATIC.TEST_POST_NMS_TOP_N,
-                                     cfg.TEST.RPN_POST_NMS_TOP_N)),
+                                     -(-cfg.TEST.RPN_POST_NMS_TOP_N // 8) * 8)),
             rpn_nms_thresh=(cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH),
             rpn_min_size=float(cfg.TRAIN.RPN_MIN_SIZE if train else cfg.TEST.RPN_MIN_SIZE),
             test_bbox_reg=bool(train or cfg.TEST.BBOX_REG),

@@ -85,13 +85,13 @@ def nms_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, thresh, top_n: int,
     O(chunk² + chunk·top_n) memory: scan score-ordered chunks; each chunk is
     first suppressed against the buffer of already-kept boxes, then resolved
     internally with the fixpoint iteration.  Only the first ``top_n`` keeps
-    can reach the output, so the kept-buffer is bounded by ``top_n`` and the
-    scan early-outs (emits don't-care False) once it fills — selections up to
-    rank ``top_n`` are identical to ``nms_fixed``/the reference ``gpu_nms``.
+    can reach the output, so the kept-buffer is bounded by ``top_n`` —
+    selections up to rank ``top_n`` are identical to ``nms_fixed``/the
+    reference ``gpu_nms``.
 
-    Returns a (K,) keep mask whose first ``top_n`` True entries (in score
-    order) are the greedy-NMS survivors; entries past the buffer fill are
-    False regardless.
+    Returns a (K,) keep mask whose True entries are EXACTLY greedy NMS's
+    first ``top_n`` keeps in score order (keeps past the buffer capacity are
+    clamped to False — the mask never exceeds ``top_n`` Trues).
     """
     k = boxes.shape[0]
     pad = (-k) % chunk
@@ -113,7 +113,9 @@ def nms_tiled(boxes: jnp.ndarray, valid: jnp.ndarray, thresh, top_n: int,
         kept_boxes = kept_boxes.at[slot].set(b, mode="drop")
         kept_mask = kept_mask.at[slot].set(True, mode="drop")
         count = count + jnp.sum(keep_c.astype(jnp.int32))
-        return (kept_boxes, kept_mask, count), keep_c
+        # emit only keeps that made the buffer, so the public contract holds:
+        # the mask's True entries are exactly greedy NMS's first top_n keeps
+        return (kept_boxes, kept_mask, count), keep_c & (pos < top_n)
 
     init = (jnp.zeros((top_n, 4), boxes.dtype), jnp.zeros((top_n,), bool),
             jnp.sum(valid.astype(jnp.int32)) * 0)

@@ -127,6 +127,19 @@ def postprocess_detections(
     return out
 
 
+def vote_candidates(net_out: dict, post: PostCfg, n_stages: int, axis: int = 0):
+    """(rois, valid, prob, masks) for postprocess — optionally pooling the
+    5-stage first-pass detections too (PostCfg.vote_both_passes)."""
+    keys = ("rois", "roi_valid", "cls_prob", "mask_logits")
+    r, v, c, m = (net_out[k] for k in keys)
+    if post.vote_both_passes and n_stages == 5:
+        r = jnp.concatenate([r, net_out["stage3_rois"]], axis)
+        v = jnp.concatenate([v, net_out["roi_valid"]], axis)
+        c = jnp.concatenate([c, net_out["stage3_cls_prob"]], axis)
+        m = jnp.concatenate([m, net_out["stage3_mask_logits"]], axis)
+    return r, v, c, m
+
+
 class MNCPipeline:
     """demo.py / test_net.py-compatible inference front-end.
 
@@ -165,16 +178,7 @@ class MNCPipeline:
         self._run_batch = jax.jit(_run_batch_impl)
 
     def _candidates(self, model, net_out, axis=0):
-        """(rois, valid, prob, masks) for postprocess — optionally pooling
-        the 5-stage first-pass detections too (PostCfg.vote_both_passes)."""
-        keys = ("rois", "roi_valid", "cls_prob", "mask_logits")
-        r, v, c, m = (net_out[k] for k in keys)
-        if self.post.vote_both_passes and model.arch.n_stages == 5:
-            r = jnp.concatenate([r, net_out["stage3_rois"]], axis)
-            v = jnp.concatenate([v, net_out["roi_valid"]], axis)
-            c = jnp.concatenate([c, net_out["stage3_cls_prob"]], axis)
-            m = jnp.concatenate([m, net_out["stage3_mask_logits"]], axis)
-        return r, v, c, m
+        return vote_candidates(net_out, self.post, model.arch.n_stages, axis)
 
     def _make_run(self, model):
         @jax.jit

@@ -73,3 +73,18 @@ def prep_im_for_blob(
 def im_list_to_blob(ims) -> np.ndarray:
     """Stack equal-shape canvases into a (B, H, W, 3) batch blob."""
     return np.stack(ims).astype(np.float32)
+
+
+def resize_mask_area(mask, out_hw):
+    """Host-side mask downsample: cv2 INTER_AREA when available (higher
+    fidelity — tools/mask_fidelity_study.py), numpy nearest otherwise (cv2 is
+    an optional dependency of data prep, not a hard one)."""
+    oh, ow = out_hw
+    m = np.asarray(mask, np.float32)
+    if cv2 is not None:
+        return cv2.resize(m, (ow, oh), interpolation=cv2.INTER_AREA)
+    ys = np.clip(((np.arange(oh) + 0.5) * m.shape[0] / oh).astype(int),
+                 0, m.shape[0] - 1)
+    xs = np.clip(((np.arange(ow) + 0.5) * m.shape[1] / ow).astype(int),
+                 0, m.shape[1] - 1)
+    return m[np.ix_(ys, xs)]

@@ -170,3 +170,31 @@ def npz_meta(path: str) -> dict:
                 v = data[name]
                 out[name.split("/", 1)[1]] = v.item() if v.ndim == 0 else v
     return out
+
+
+def load_import_weights(caffemodel_path, npz_path, arch, params):
+    """Shared --caffemodel / --npz handling for the tool CLIs.
+
+    Returns (params, arch) — the arch may be a replacement configured for the
+    imported weights: caffemodels flip BOTH bbox_pred_normalized (snapshot
+    weights are un-normalized) and suppress_untrainable_anchors (the
+    reference ProposalLayer scored all anchors); npz files carry the
+    normalization state as metadata.  Rebuild the model iff arch changed.
+    """
+    import dataclasses
+
+    if caffemodel_path:
+        from mnc_tpu.utils.caffemodel import load_mnc_caffemodel
+
+        params = load_mnc_caffemodel(caffemodel_path, params)
+        arch = dataclasses.replace(arch, bbox_pred_normalized=False,
+                                   suppress_untrainable_anchors=False)
+        print(f"loaded reference weights from {caffemodel_path} "
+              "(stage-bridge de-norm off; anchor-type suppression off)")
+    elif npz_path:
+        params = load_npz(npz_path)
+        new_arch = arch_for_npz(npz_path, arch)
+        if new_arch is not arch:
+            print("npz has bbox stats folded in; stage bridge de-norm off")
+        arch = new_arch
+    return params, arch

@@ -48,12 +48,12 @@ def mcg_candidates(mat_path: str, top_k: int):
 
 
 def crop_resize(mask: np.ndarray, box: np.ndarray, size: int) -> np.ndarray:
-    import cv2
+    from mnc_tpu.utils.blob import resize_mask_area
 
     x1, y1, x2, y2 = box.astype(int)
     crop = mask[y1:y2 + 1, x1:x2 + 1].astype(np.float32)
-    # area filter per tools/mask_fidelity_study.py
-    return cv2.resize(crop, (size, size), interpolation=cv2.INTER_AREA)
+    # area filter per tools/mask_fidelity_study.py (numpy fallback inside)
+    return resize_mask_area(crop, (size, size))
 
 
 def main():

@@ -75,24 +75,13 @@ def main():
     img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
     info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
     params = model.init(jax.random.PRNGKey(0), img0, info0)
-    if args.caffemodel:
-        from mnc_tpu.utils.caffemodel import load_mnc_caffemodel
+    if args.caffemodel or args.npz:
+        from mnc_tpu.utils.checkpoint import load_import_weights
 
-        params = load_mnc_caffemodel(args.caffemodel, params)
-        # caffemodels carry UN-normalized bbox_pred (snapshot semantics)
-        import dataclasses as _dc
-
-        arch = _dc.replace(arch, bbox_pred_normalized=False)
-        model = MNC(arch=arch)
-        print(f"loaded reference weights from {args.caffemodel}")
-    elif args.npz:
-        from mnc_tpu.utils.checkpoint import arch_for_npz, load_npz
-
-        params = load_npz(args.npz)
-        arch2 = arch_for_npz(args.npz, arch)
-        if arch2 is not arch:  # exported with folded stats: bridge must not
-            arch, model = arch2, MNC(arch=arch2)  # re-apply stds/means
-            print("npz has bbox stats folded in; stage bridge de-norm off")
+        params, arch2 = load_import_weights(args.caffemodel, args.npz, arch,
+                                            params)
+        if arch2 is not arch:
+            arch, model = arch2, MNC(arch=arch2)
     elif args.ckpt:
         from mnc_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
 
@@ -164,8 +153,9 @@ def main():
 
                     im = cv2.imread(imdb.image_path_at(n))
                     canvas, info = prep_im_for_blob(
-                        im, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
-                        tuple(cfg.STATIC.CANVAS))
+                        im, target_size=cfg.TEST.SCALES[0],
+                        max_size=cfg.TEST.MAX_SIZE,
+                        canvas_hw=tuple(cfg.STATIC.CANVAS))
                 boxes, masks, valid = load_segs(i)
                 boxes = boxes * float(info[2])  # segdb is original-image coords
                 timer.tic()
