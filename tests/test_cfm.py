@@ -120,3 +120,71 @@ def test_cfm_detect_end_to_end():
     k = int(np.argmax(out["valid"]))
     cm = out["canvas_masks"][k]
     assert cm.sum() > 0.5 * 31 * 31
+
+
+def test_cfm_real_image_chain_oracle(tmp_path, monkeypatch):
+    """test_net --segdb over REAL images (jpg decode → scale → segdb box
+    scaling → canvas-mask unmold → eval vs .mat gt): oracle segments must
+    score mAP 1.0.  Regression for the r2 positional-arg crash in the
+    prep_im_for_blob call."""
+    import pickle
+    import runpy
+    import sys
+
+    import cv2
+    from scipy.io import savemat
+
+    from mnc_tpu.config import cfg
+    import mnc_tpu.data.pascal_voc as pv
+
+    root = tmp_path / "sbd"
+    ds = root / "benchmark_RELEASE" / "dataset"
+    for sub in ("inst", "cls", "img"):
+        (ds / sub).mkdir(parents=True)
+    inst = np.zeros((60, 80), np.uint8)
+    inst[10:30, 10:40] = 1
+    clsm = np.zeros((60, 80), np.uint8)
+    clsm[10:30, 10:40] = 1
+    savemat(str(ds / "inst" / "im1.mat"), {"GTinst": {"Segmentation": inst}})
+    savemat(str(ds / "cls" / "im1.mat"), {"GTcls": {"Segmentation": clsm}})
+    cv2.imwrite(str(ds / "img" / "im1.jpg"),
+                np.random.RandomState(0).randint(0, 255, (60, 80, 3), np.uint8))
+    (root / "val.txt").write_text("im1\n")
+    segdb = tmp_path / "segdb"
+    segdb.mkdir()
+    rec = {"index": "im1",
+           "boxes": np.array([[10.0, 10.0, 39.0, 29.0]], np.float32),
+           "masks": np.ones((1, 21, 21), np.float32)}
+    with open(segdb / "im1.pkl", "wb") as f:
+        pickle.dump(rec, f)
+
+    orig = pv.PascalVOCSeg.__init__
+
+    def patched(self, image_set, devkit_path=None, **kw):
+        orig(self, image_set, devkit_path=str(root),
+             cache_dir=str(tmp_path / "cache"), **kw)
+
+    monkeypatch.setattr(pv.PascalVOCSeg, "__init__", patched)
+    monkeypatch.setattr(sys, "argv", [
+        "test_net.py", "--cpu", "--imdb", "voc_2012_seg_val",
+        "--segdb", str(segdb), "--seg-top-k", "8",
+        "--set", "NET.FC_DIM", "64", "NET.MASK_FC_DIM", "32",
+        "NET.N_STAGES", "3", "STATIC.CANVAS", "[64, 96]",
+        "TEST.SCALES", "[48]", "TEST.MAX_SIZE", "96",
+        "NET.ANCHOR_SCALES", "[1, 2, 4]", "STATIC.TEST_PRE_NMS_TOP_N", "64",
+        "STATIC.TEST_POST_NMS_TOP_N", "16"])
+    saved = cfg.clone()
+    sys.path.insert(0, "tools")
+    try:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            runpy.run_path("tools/test_net.py", run_name="__main__")
+        out = buf.getvalue()
+    finally:
+        sys.path.pop(0)
+        cfg.clear()
+        cfg.update(saved)
+    assert "mAP^r@0.5 = 1.0000" in out, out[-800:]
