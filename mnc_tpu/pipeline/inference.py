@@ -253,6 +253,22 @@ class MNCPipeline:
         """Batched throughput path: (B, H, W, 3) + (B, 3) → batched dets."""
         return self._run_batch(self.params, canvases, im_infos)
 
+    def detect_canvas_batch_packed(self, canvases: jnp.ndarray,
+                                   im_infos: jnp.ndarray) -> dict:
+        """Batched detect with bit-packed canvas masks (see
+        detect_canvas_packed)."""
+        if not hasattr(self, "_run_batch_packed"):
+            @jax.jit
+            def _run_batch_packed(params, images, infos):
+                out = self._run_batch(params, images, infos)
+                if "canvas_masks" in out:
+                    out = dict(out, canvas_masks=jnp.packbits(
+                        out["canvas_masks"].astype(jnp.uint8), axis=-1))
+                return out
+
+            self._run_batch_packed = _run_batch_packed
+        return self._run_batch_packed(self.params, canvases, im_infos)
+
     def detect(self, bgr_image: np.ndarray, auto_orient: bool | None = None) -> dict:
         """Full host API: BGR uint8 image → original-resolution detections.
 

@@ -32,6 +32,9 @@ def parse_args():
                          "precomputed segments instead of running the RPN")
     ap.add_argument("--seg-top-k", type=int, default=300,
                     help="CFM: static per-image segment capacity (padded)")
+    ap.add_argument("--eval-batch", type=int, default=1,
+                    help="detect images in device batches of N "
+                         "(synthetic imdbs; amortizes per-image dispatch)")
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
@@ -136,6 +139,29 @@ def main():
 
     detections = []
     timer = Timer()
+    pending = []
+
+    def flush_batch():
+        # pad the tail batch to the compiled batch size by repeating the last
+        from mnc_tpu.pipeline.inference import unpack_canvas_masks
+
+        if not pending:
+            return
+        b = args.eval_batch
+        entries = pending[:]
+        while len(entries) < b:
+            entries.append(entries[-1])
+        canvases = jnp.asarray(np.stack([e[1] for e in entries]))
+        infos = jnp.asarray(np.stack([e[2] for e in entries]))
+        timer.tic()
+        outs = jax.device_get(pipe.detect_canvas_batch_packed(canvases, infos))
+        timer.toc()
+        for k, (i, _, _, _) in enumerate(pending):
+            out = {key: v[k] for key, v in outs.items()}
+            out = unpack_canvas_masks(out, pipe.arch.canvas[1])
+            detections.extend(collect_detections(out, i, args.conf))
+        pending.clear()
+
     if args.cache and osp.exists(args.cache):
         with open(args.cache, "rb") as f:
             detections = pickle.load(f)
@@ -177,6 +203,11 @@ def main():
             elif is_synth:
                 ex = imdb.example(i)
                 canvas, info = ex["image"], ex["im_info"]
+                if args.eval_batch > 1:
+                    pending.append((i, canvas, info, None))
+                    if len(pending) == args.eval_batch or n == imdb.num_images - 1:
+                        flush_batch()
+                    continue
                 timer.tic()
                 out = jax.device_get(pipe.detect_canvas(
                     jnp.asarray(canvas), jnp.asarray(info)))
