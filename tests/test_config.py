@@ -104,3 +104,16 @@ def test_no_dead_config_keys():
     dead = [path for path, name in leaves(cfg)
             if name not in source and path not in COMPAT_ONLY_KEYS]
     assert not dead, f"config keys never read outside config.py: {dead}"
+
+
+def test_shipped_experiment_yamls_load():
+    """Every cfg under experiments/cfgs must merge cleanly (key renames/
+    deletions in config.py would otherwise break them silently)."""
+    import glob
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    ymls = sorted(glob.glob(str(root / "experiments" / "cfgs" / "*.yml")))
+    assert ymls, "no experiment cfgs found"
+    for f in ymls:
+        cfg_from_file(f)
