@@ -156,8 +156,10 @@ __C.TRAIN.MAX_ITERS = 25000
 __C.TRAIN.ITER_SIZE = 1  # gradient accumulation (solver iter_size)
 # Caffe solver clip_gradients (global-norm clip); <= 0 disables.
 __C.TRAIN.CLIP_GRADIENTS = -1.0
-# (the reference's TRAIN.MIX_INDEX roi-mixing flag is intentionally absent:
-#  stages 4-5 always train on the bridge-refined RoIs — see PARITY.md)
+# The reference's TRAIN.MIX_INDEX roi-mixing flag is accepted-but-inert
+# (COMPAT_ONLY_KEYS): stages 4-5 always train on the bridge-refined RoIs —
+# see PARITY.md.  Kept as a key so reference YAMLs that set it still merge.
+__C.TRAIN.MIX_INDEX = True
 
 # ---- testing ----
 __C.TEST = _tree()
@@ -191,7 +193,9 @@ __C.TEST.MAX_PER_IMAGE = 100
 #                          Fast-RCNN-style path; targets here are on-device,
 #                          FG_THRESH governs)
 #   TEST.USE_GPU_MASK_MERGE voting is always on-device
-COMPAT_ONLY_KEYS = {"GPU_ID", "TRAIN.BBOX_THRESH", "TEST.USE_GPU_MASK_MERGE"}
+#   TRAIN.MIX_INDEX        roi mixing; stages 4-5 always use bridged RoIs
+COMPAT_ONLY_KEYS = {"GPU_ID", "TRAIN.BBOX_THRESH", "TEST.USE_GPU_MASK_MERGE",
+                    "TRAIN.MIX_INDEX"}
 
 
 # --------------------------------------------------------------------------- #

@@ -74,14 +74,15 @@ def make_example(
     gt_boxes[:g] = roidb_entry["boxes"][:g] * scale
     gt_classes[:g] = roidb_entry["classes"][:g]
     gt_valid[:g] = True
-    src_masks = mask_entry["masks"][:g]
-    if src_masks.shape[-1] != gt_mask_size and g > 0:
-        from mnc_tpu.utils.blob import resize_mask_area
+    if g > 0:
+        src_masks = mask_entry["masks"][:g]
+        if src_masks.shape[-1] != gt_mask_size:
+            from mnc_tpu.utils.blob import resize_mask_area
 
-        s = gt_mask_size
-        # area filter when cv2 is present (tools/mask_fidelity_study.py)
-        src_masks = np.stack([resize_mask_area(m, (s, s)) for m in src_masks])
-    gt_masks[:g] = src_masks
+            s = gt_mask_size
+            # area filter when cv2 is present (tools/mask_fidelity_study.py)
+            src_masks = np.stack([resize_mask_area(m, (s, s)) for m in src_masks])
+        gt_masks[:g] = src_masks
 
     return {
         "image": canvas,

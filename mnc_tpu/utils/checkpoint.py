@@ -109,6 +109,32 @@ def export_params(params: Any, bbox_means, bbox_stds) -> Any:
     return fold(jax.tree.map(np.asarray, params))
 
 
+def renormalize_bbox_pred(params: Any, bbox_means, bbox_stds) -> Any:
+    """Inverse of :func:`export_params` — pull the bbox stats back OUT.
+
+    Reference ``.caffemodel`` snapshots carry bbox_pred weights with the
+    target normalization folded in (they predict raw deltas).  Training
+    assumes NORMALIZED deltas (targets are normalized, the stage bridge
+    de-normalizes), so fine-tuning from a snapshot must first divide the
+    stats back out: kernel' = kernel / stds, bias' = (bias - means) / stds.
+    """
+    params = jax.device_get(params)
+    means = np.asarray(bbox_means, np.float32)
+    stds = np.asarray(bbox_stds, np.float32)
+
+    def unfold(tree):
+        bb = tree["params"]["classify_head"]["bbox_pred"]
+        k, b = np.asarray(bb["kernel"]), np.asarray(bb["bias"])
+        n_out = k.shape[-1]
+        stds_full = np.tile(stds, n_out // 4)
+        means_full = np.tile(means, n_out // 4)
+        bb["kernel"] = k / stds_full[None, :]
+        bb["bias"] = (b - means_full) / stds_full
+        return tree
+
+    return unfold(jax.tree.map(np.asarray, params))
+
+
 def save_npz(path: str, params: Any, meta: dict | None = None) -> None:
     """Flat-name npz export (portable, ≙ .caffemodel role).
 

@@ -81,6 +81,19 @@ def test_export_unnormalizes_bbox_pred():
     np.testing.assert_allclose(np.asarray(bbox_raw), want, rtol=1e-4, atol=1e-4)
 
 
+def test_renormalize_inverts_export():
+    """renormalize_bbox_pred is the exact inverse of export_params — the
+    fine-tune-from-reference-snapshot path (ADVICE r2)."""
+    _, state = _mk_state()
+    means = (0.0, 0.1, -0.1, 0.2)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    roundtrip = ck.renormalize_bbox_pred(
+        ck.export_params(state.params, means, stds), means, stds)
+    for x, y in zip(jax.tree.leaves(state.params), jax.tree.leaves(roundtrip)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_npz_roundtrip(tmp_path):
     _, state = _mk_state()
     path = str(tmp_path / "params.npz")

@@ -46,6 +46,15 @@ def test_cfg_from_list():
     assert cfg.NET.TRUNK == "resnet101"
 
 
+def test_compat_only_mix_index_merges(tmp_path):
+    """A reference YAML that sets TRAIN.MIX_INDEX is accepted-but-inert
+    (COMPAT_ONLY_KEYS), like GPU_ID — not a merge KeyError (ADVICE r2)."""
+    p = tmp_path / "c.yml"
+    p.write_text("TRAIN:\n  MIX_INDEX: true\n")
+    cfg_from_file(str(p))
+    assert cfg.TRAIN.MIX_INDEX is True
+
+
 def test_type_coercion_errors():
     with pytest.raises(ValueError):
         cfg_from_list(["TRAIN.LEARNING_RATE", "not_a_number"])

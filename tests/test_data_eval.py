@@ -101,6 +101,23 @@ def test_train_loader_shapes_and_flip():
     assert (b[:, 0] >= 0).all() and (b[:, 2] <= 127).all()
 
 
+def test_make_example_zero_instances_with_mask_resize():
+    """An annotation-free image with stored mask size != gt_mask_size must not
+    raise in the resize-and-assign block (ADVICE r2: the g>0 guard skipped
+    the resize but still assigned a (0,S,S) into (0,g,g))."""
+    from mnc_tpu.data.loader import make_example
+
+    imdb = SyntheticIMDB(canvas_hw=(96, 128), num_classes=4, num_images=2)
+    entry = dict(imdb.roidb()[0])
+    entry["boxes"] = np.zeros((0, 4), np.float32)
+    entry["classes"] = np.zeros((0,), np.int32)
+    masks = {"masks": np.zeros((0, 112, 112), np.float32)}  # != gt_mask_size
+    ex = make_example(imdb, entry, masks, 0, max_gt=8, canvas_hw=(96, 128),
+                      gt_mask_size=16, synthetic=True)
+    assert not ex["gt_valid"].any()
+    assert ex["gt_masks"].shape == (8, 16, 16)
+
+
 def test_factory_names():
     imdb = get_imdb("synthetic_8")
     assert imdb.num_images == 8

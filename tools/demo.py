@@ -70,7 +70,7 @@ def main():
                                             params)
         if arch2 is not arch:
             arch, model = arch2, MNC(arch=arch2)
-        print(f"loaded params from {args.npz}")
+        print(f"loaded params from {args.caffemodel or args.npz}")
     elif args.ckpt:
         from mnc_tpu.utils.checkpoint import restore_checkpoint
 

@@ -102,8 +102,16 @@ def main():
             params = load_vgg16_caffe_npz(args.weights, params)
         elif args.weights.endswith(".caffemodel"):
             from mnc_tpu.utils.caffemodel import load_mnc_caffemodel
+            from mnc_tpu.utils.checkpoint import renormalize_bbox_pred
 
             params = load_mnc_caffemodel(args.weights, params)
+            # reference snapshots store bbox_pred with target stats folded in
+            # (raw-delta outputs); training regresses normalized deltas, so
+            # pull the stats back out before fine-tuning (ADVICE r2).
+            params = renormalize_bbox_pred(params, arch.bbox_means,
+                                           arch.bbox_stds)
+            print("caffemodel bbox_pred re-normalized for training "
+                  f"(stds {arch.bbox_stds})")
         else:
             from mnc_tpu.utils.weights import load_vgg16_torchvision
 
