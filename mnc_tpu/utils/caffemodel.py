@@ -175,7 +175,37 @@ def _dig(tree: dict, path: tuple[str, ...]) -> dict | None:
     return tree
 
 
-def load_mnc_caffemodel(path: str, params: dict, strict: bool = False) -> dict:
+def _convert_weight(w: np.ndarray, kind: str, dst: dict):
+    """Convert one caffe blob to our layout. Returns (array, None) or
+    (None, reason)."""
+    if kind == "conv":
+        if w.ndim != 4:
+            return None, f"conv wants 4-d, got {w.shape}"
+        return np.transpose(w, (2, 3, 1, 0)), None
+    if w.ndim != 2:
+        return None, f"fc wants 2-d, got {w.shape}"
+    if kind == "fc":
+        o, i = w.shape
+        tgt_i = dst["kernel"].shape[0]
+        if i != tgt_i:
+            return None, f"in {i} != {tgt_i}"
+        # infer (C, H, W) from the destination's HWC flatten
+        # dst input is H*W*C with square H=W
+        c = None
+        for ch in (512, 1024, 2048, 256, 128):
+            if i % ch == 0 and int(round((i // ch) ** 0.5)) ** 2 == i // ch:
+                c = ch
+                break
+        if c is None:
+            return None, f"cannot infer CHW of {i}"
+        hw = int(round((i // c) ** 0.5))
+        return (w.reshape(o, c, hw, hw).transpose(0, 2, 3, 1)
+                .reshape(o, i).T), None
+    return w.T, None  # fc_flat
+
+
+def load_mnc_caffemodel(path: str, params: dict, strict: bool = False,
+                        remap: dict[str, str] | None = None) -> dict:
     """Import a reference .caffemodel into an MNC param tree.
 
     Converts conv kernels (O,I,kH,kW)→(kH,kW,I,O) and inner products
@@ -183,58 +213,95 @@ def load_mnc_caffemodel(path: str, params: dict, strict: bool = False) -> dict:
     order to our HWC order (the load-bearing subtlety: fc6 reads the
     7×7×512 pooled features, flattened in different axis orders).
 
+    ``remap`` maps source layer names in the file to the canonical names of
+    ``_MNC_LAYER_MAP`` (the ``--remap old=new`` escape hatch for the
+    recalled-name seam, e.g. the mask-branch fc names).  After exact-name
+    matching, any leftover weighted layer is **shape-matched**: if its
+    converted weights fit exactly one still-unfilled destination, it is
+    imported there with a loud note; ambiguous candidates are reported.
+
     Returns updated params; prints a report of matched/skipped layers.
     """
     import copy
 
     blobs = read_caffemodel(path)
+    if remap:
+        unknown = [v for v in remap.values() if v not in _MNC_LAYER_MAP]
+        if unknown:
+            raise ValueError(
+                f"--remap targets not in the known layer map: {unknown}; "
+                f"known: {sorted(_MNC_LAYER_MAP)}")
+        blobs = {remap.get(k, k): v for k, v in blobs.items()}
     params = copy.deepcopy(params)
-    matched, skipped, mismatched = [], [], []
-    for lname, bs in blobs.items():
-        if lname not in _MNC_LAYER_MAP or not bs:
-            if bs:  # only layers that actually carry weights are interesting
-                skipped.append(lname)
-            continue
-        path_keys, kind = _MNC_LAYER_MAP[lname]
+    matched, skipped, mismatched, notes = [], [], [], []
+    filled: set[tuple] = set()  # destination paths already written
+
+    def try_import(lname, bs, path_keys, kind, tag=""):
         dst = _dig(params["params"], path_keys)
         if dst is None:
             skipped.append(f"{lname} (no {'/'.join(path_keys)} in model)")
-            continue
+            return False
         w = np.asarray(bs[0], np.float32)
         b = np.asarray(bs[1], np.float32) if len(bs) > 1 else None
-        if kind == "conv":
-            w = np.transpose(w, (2, 3, 1, 0))
-        elif kind == "fc":
-            o, i = w.shape
-            tgt_i = dst["kernel"].shape[0]
-            if i == tgt_i:
-                # infer (C, H, W) from the destination's HWC flatten
-                # dst input is H*W*C with square H=W
-                c = None
-                for ch in (512, 1024, 2048, 256, 128):
-                    if i % ch == 0 and int(round((i // ch) ** 0.5)) ** 2 == i // ch:
-                        c = ch
-                        break
-                if c is None:
-                    mismatched.append(f"{lname}: cannot infer CHW of {i}")
-                    continue
-                hw = int(round((i // c) ** 0.5))
-                w = (w.reshape(o, c, hw, hw).transpose(0, 2, 3, 1)
-                     .reshape(o, i).T)
-            else:
-                mismatched.append(f"{lname}: in {i} != {tgt_i}")
-                continue
-        else:  # fc_flat
-            w = w.T
+        w, err = _convert_weight(w, kind, dst)
+        if err is not None:
+            mismatched.append(f"{lname}: {err}")
+            return False
         if dst["kernel"].shape != w.shape:
             mismatched.append(
                 f"{lname}: {w.shape} vs model {dst['kernel'].shape}")
-            continue
+            return False
         dst["kernel"] = w
         if b is not None and "bias" in dst and dst["bias"].shape == b.shape:
             dst["bias"] = b
-        matched.append(lname)
+        matched.append(lname + tag)
+        filled.add(path_keys)
+        return True
+
+    leftovers = []
+    for lname, bs in blobs.items():
+        if not bs:
+            continue
+        if lname in _MNC_LAYER_MAP:
+            path_keys, kind = _MNC_LAYER_MAP[lname]
+            try_import(lname, bs, path_keys, kind)
+        else:
+            leftovers.append((lname, bs))
+
+    # shape-based fallback for unmatched names (the day-one recalled-name seam)
+    for lname, bs in leftovers:
+        w = np.asarray(bs[0], np.float32)
+        b = np.asarray(bs[1], np.float32) if len(bs) > 1 else None
+        candidates = []
+        for cname, (path_keys, kind) in _MNC_LAYER_MAP.items():
+            if path_keys in filled:
+                continue
+            dst = _dig(params["params"], path_keys)
+            if dst is None:
+                continue
+            conv, err = _convert_weight(w, kind, dst)
+            if err is not None or dst["kernel"].shape != conv.shape:
+                continue
+            if b is not None and ("bias" not in dst
+                                  or dst["bias"].shape != b.shape):
+                continue
+            candidates.append((cname, path_keys, kind))
+        # unique by destination path (rpn_conv/3x3 + rpn_conv_3x3 alias)
+        dests = {c[1] for c in candidates}
+        if len(dests) == 1:
+            cname, path_keys, kind = candidates[0]
+            if try_import(lname, bs, path_keys, kind,
+                          tag=f"→{cname} (shape-matched)"):
+                notes.append(f"{lname} shape-matched to {cname}")
+                continue
+        if len(dests) > 1:
+            skipped.append(f"{lname} (ambiguous shape match: "
+                           f"{sorted(c[0] for c in candidates)}; use --remap)")
+        else:
+            skipped.append(lname)
+
     print(f"caffemodel import: {len(matched)} layers matched"
+          + (f"; shape-matched: {notes}" if notes else "")
           + (f"; skipped {skipped}" if skipped else "")
           + (f"; MISMATCHED {mismatched}" if mismatched else ""))
     if strict and (skipped or mismatched):

@@ -198,7 +198,18 @@ def npz_meta(path: str) -> dict:
     return out
 
 
-def load_import_weights(caffemodel_path, npz_path, arch, params):
+def parse_remap(pairs) -> dict:
+    """['old=new', ...] (the --remap CLI form) → {old: new}."""
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise ValueError(f"--remap entries are old=new, got {p!r}")
+        old, new = p.split("=", 1)
+        out[old] = new
+    return out
+
+
+def load_import_weights(caffemodel_path, npz_path, arch, params, remap=None):
     """Shared --caffemodel / --npz handling for the tool CLIs.
 
     Returns (params, arch) — the arch may be a replacement configured for the
@@ -206,13 +217,17 @@ def load_import_weights(caffemodel_path, npz_path, arch, params):
     weights are un-normalized) and suppress_untrainable_anchors (the
     reference ProposalLayer scored all anchors); npz files carry the
     normalization state as metadata.  Rebuild the model iff arch changed.
+    ``remap`` ({source_layer: canonical_layer} or ['old=new', ...]) renames
+    caffemodel layers before matching.
     """
     import dataclasses
 
     if caffemodel_path:
         from mnc_tpu.utils.caffemodel import load_mnc_caffemodel
 
-        params = load_mnc_caffemodel(caffemodel_path, params)
+        if isinstance(remap, (list, tuple)):
+            remap = parse_remap(remap)
+        params = load_mnc_caffemodel(caffemodel_path, params, remap=remap)
         arch = dataclasses.replace(arch, bbox_pred_normalized=False,
                                    suppress_untrainable_anchors=False)
         print(f"loaded reference weights from {caffemodel_path} "

@@ -138,6 +138,150 @@ def test_mnc_import_conv_and_fc_permutation(tmp_path):
     np.testing.assert_allclose(y_ours, y_caffe, rtol=1e-4, atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# Full-graph round-trip: write the COMPLETE recalled 5-stage layer inventory
+# from a param tree into caffemodel wire bytes, import it back, and forward
+# (VERDICT r2 next-round item 2).
+# ---------------------------------------------------------------------------
+
+# canonical caffemodel layer name per destination (one alias each)
+_EXPORT_NAMES = {
+    ("trunk", n): n for n in (
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2",
+        "conv3_1", "conv3_2", "conv3_3",
+        "conv4_1", "conv4_2", "conv4_3",
+        "conv5_1", "conv5_2", "conv5_3")
+}
+_EXPORT_NAMES.update({
+    ("rpn_head", "rpn_conv"): "rpn_conv/3x3",
+    ("rpn_head", "rpn_cls_score"): "rpn_cls_score",
+    ("rpn_head", "rpn_bbox_pred"): "rpn_bbox_pred",
+    ("classify_head", "fc6"): "fc6",
+    ("classify_head", "fc7"): "fc7",
+    ("classify_head", "cls_score"): "cls_score",
+    ("classify_head", "bbox_pred"): "bbox_pred",
+    ("mask_head", "fc_mask"): "fc6_maskest",
+    ("mask_head", "mask_pred"): "mask_pred",
+})
+_SPATIAL_FC = {"fc6", "fc6_maskest"}  # caffe flattens their input CHW
+
+
+def _export_caffemodel(params, rename=None, fmt=_layer_v1) -> bytes:
+    """params tree → NetParameter wire bytes (inverse of the importer)."""
+    buf = b""
+    for path_keys, lname in _EXPORT_NAMES.items():
+        tree = params["params"]
+        for p in path_keys:
+            tree = tree[p]
+        k = np.asarray(tree["kernel"], np.float32)
+        b = np.asarray(tree["bias"], np.float32)
+        if k.ndim == 4:  # conv (kH,kW,I,O) → caffe (O,I,kH,kW)
+            w = np.transpose(k, (3, 2, 0, 1))
+        elif lname in _SPATIAL_FC:  # (H*W*C, O) → caffe (O, C*H*W)
+            i, o = k.shape
+            c = 512
+            hw = int(round((i // c) ** 0.5))
+            assert hw * hw * c == i, (lname, k.shape)
+            w = k.T.reshape(o, hw, hw, c).transpose(0, 3, 1, 2).reshape(o, i)
+        else:
+            w = k.T
+        name = (rename or {}).get(lname, lname)
+        buf += fmt(name, [_blob(w), _blob(b)])
+    return buf
+
+
+def test_full_graph_roundtrip_and_forward(tmp_path):
+    """Every layer of the recalled 5-stage inventory survives caffemodel
+    export → import bit-exactly, and the imported model runs a full forward
+    to detections (strict mode: nothing skipped or mismatched)."""
+    model, fresh = _params()
+    rs = np.random.RandomState(7)
+    src = jax.tree.map(  # distinct values everywhere, same structure
+        lambda x: rs.randn(*np.shape(x)).astype(np.float32), fresh)
+    path = tmp_path / "full.caffemodel"
+    path.write_bytes(_export_caffemodel(src))
+
+    out = load_mnc_caffemodel(str(path), fresh, strict=True)
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(src):
+        node = out
+        for k in kp:
+            node = node[k.key]
+        np.testing.assert_array_equal(np.asarray(node), np.asarray(leaf),
+                                      err_msg=str(kp))
+
+    # imported params drive a full forward to detections
+    from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
+
+    pipe = MNCPipeline(model, out, PostCfg(dets_per_class=4, max_per_image=8,
+                                           paste=False))
+    img = jnp.zeros((*ARCH.canvas, 3), jnp.float32)
+    dets = jax.device_get(pipe.detect_canvas(img, jnp.array([64.0, 96.0, 1.0])))
+    assert dets["boxes"].shape[-1] == 4
+
+
+def test_shape_fallback_recovers_misnamed_mask_layers(tmp_path):
+    """The mask-branch layer names are recalled (⚠ STATUS): if the real file
+    uses different names, the shape-based fallback must still place them —
+    their shapes are unique in the graph."""
+    model, params = _params()
+    rs = np.random.RandomState(11)
+    src = jax.tree.map(lambda x: rs.randn(*np.shape(x)).astype(np.float32),
+                       params)
+    path = tmp_path / "misnamed.caffemodel"
+    path.write_bytes(_export_caffemodel(
+        src, rename={"fc6_maskest": "fc_mask_est_v2",
+                     "mask_pred": "mask_score"}))
+    out = load_mnc_caffemodel(str(path), params, strict=True)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["mask_head"]["fc_mask"]["kernel"]),
+        np.asarray(src["params"]["mask_head"]["fc_mask"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["mask_head"]["mask_pred"]["kernel"]),
+        np.asarray(src["params"]["mask_head"]["mask_pred"]["kernel"]))
+
+
+def test_remap_resolves_ambiguous_names(tmp_path):
+    """conv3_2 and conv3_3 have identical shapes: with BOTH misnamed, each is
+    an ambiguous shape match → skipped with a hint; --remap resolves them.
+    (A single misnamed layer is unambiguous — the other destinations are
+    already name-filled — and shape-matches on its own.)"""
+    import pytest
+
+    model, params = _params()
+    rs = np.random.RandomState(3)
+    src = jax.tree.map(lambda x: rs.randn(*np.shape(x)).astype(np.float32),
+                       params)
+    rename = {"conv3_2": "conv_b2", "conv3_3": "conv_b3"}
+    path = tmp_path / "ambig.caffemodel"
+    path.write_bytes(_export_caffemodel(src, rename=rename))
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        load_mnc_caffemodel(str(path), params, strict=True)
+
+    out = load_mnc_caffemodel(
+        str(path), params, strict=True,
+        remap={"conv_b2": "conv3_2", "conv_b3": "conv3_3"})
+    for lyr in ("conv3_2", "conv3_3"):
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["trunk"][lyr]["kernel"]),
+            np.asarray(src["params"]["trunk"][lyr]["kernel"]))
+
+    with pytest.raises(ValueError, match="not in the known layer map"):
+        load_mnc_caffemodel(str(path), params,
+                            remap={"conv_b2": "not_a_layer"})
+
+
+def test_parse_remap():
+    from mnc_tpu.utils.checkpoint import parse_remap
+
+    assert parse_remap(["a=b", "c=d=e"]) == {"a": "b", "c": "d=e"}
+    assert parse_remap(None) == {}
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_remap(["nopair"])
+
+
 def test_mnc_import_strict_raises_on_mismatch(tmp_path):
     import pytest
 

@@ -20,6 +20,8 @@ def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("images", nargs="*")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--remap", nargs="*", default=None, metavar="OLD=NEW",
+                    help="rename caffemodel layers before matching")
     ap.add_argument("--caffemodel", default=None,
                     help="reference .caffemodel weights (direct import; "
                          "run with --set NET.SUPPRESS_UNTRAINABLE_ANCHORS "
@@ -61,7 +63,7 @@ def main():
         from mnc_tpu.utils.checkpoint import load_import_weights
 
         params, arch2 = load_import_weights(args.caffemodel, args.npz, arch,
-                                            params)
+                                            params, remap=args.remap)
         if arch2 is not arch:
             arch, model = arch2, MNC(arch=arch2)
     elif args.ckpt:

@@ -19,6 +19,8 @@ def parse_args():
     ap = argparse.ArgumentParser(description="Test MNC")
     ap.add_argument("--imdb", default="synthetic_16")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--remap", nargs="*", default=None, metavar="OLD=NEW",
+                    help="rename caffemodel layers before matching")
     ap.add_argument("--caffemodel", default=None,
                     help="reference .caffemodel weights (direct import; "
                          "run with --set NET.SUPPRESS_UNTRAINABLE_ANCHORS "
@@ -82,7 +84,7 @@ def main():
         from mnc_tpu.utils.checkpoint import load_import_weights
 
         params, arch2 = load_import_weights(args.caffemodel, args.npz, arch,
-                                            params)
+                                            params, remap=args.remap)
         if arch2 is not arch:
             arch, model = arch2, MNC(arch=arch2)
     elif args.ckpt:
