@@ -115,6 +115,71 @@ def test_shard_batch_layout():
         assert v.addressable_shards[0].data.shape[0] == 1
 
 
+def test_dp_eval_step_matches_single_device(setup):
+    """data_parallel_eval_step shards batched inference over the mesh and
+    returns exactly what a single-device vmap of the same runner returns."""
+    from mnc_tpu.parallel import data_parallel_eval_step
+    from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
+
+    model, params, tx = setup
+    mesh = make_mesh()
+    pipe = MNCPipeline(model, params,
+                       PostCfg(dets_per_class=4, max_per_image=8, paste=False))
+    batch = DATA.batch(range(8))
+    images = jnp.asarray(batch["image"])
+    infos = jnp.asarray(batch["im_info"])
+
+    ref = jax.device_get(jax.vmap(pipe._run, in_axes=(None, 0, 0))(
+        params, images, infos))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = data_parallel_eval_step(pipe._run, mesh)
+    got = jax.device_get(dp(
+        replicate(params, mesh),
+        jax.device_put(images, NamedSharding(mesh, P("data"))),
+        jax.device_put(infos, NamedSharding(mesh, P("data")))))
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_init_distributed_two_process_psum(tmp_path):
+    """Multi-host DCN path: two real processes join via init_distributed
+    (coordination service on localhost), form one GLOBAL mesh, and a
+    cross-process psum over gloo returns the global device count.  This is
+    the 2-process CPU stand-in for multi-host TPU (SURVEY.md §2.3 DCN row)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    env = dict(os.environ)
+    # one CPU device per process (conftest's 8-way split is per-process and
+    # would make the expected psum 16; keep the smoke minimal + fast)
+    env["XLA_FLAGS"] = ""
+    procs = [subprocess.Popen(
+        [sys.executable, worker, f"localhost:{port}", str(i), "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"DIST_OK proc={i} nproc=2 ndev=2" in out, out
+
+
 def test_spatial_trunk_partitioning_matches_single_device(setup):
     """Height-sharded trunk (XLA SPMD halo exchange) == unsharded trunk."""
     from mnc_tpu.models.mnc import MNC
