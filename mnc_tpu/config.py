@@ -179,6 +179,9 @@ __C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
 # Run portrait images on the transposed canvas (exact reference scale rule)
 # instead of extra-downscaling them into the landscape canvas.
 __C.TEST.AUTO_PORTRAIT = True
+# Bit-pack canvas masks on device for the detect() host transfer (identical
+# outputs after host unpack; 8x less device->host traffic).
+__C.TEST.PACKED_TRANSFER = True
 # Optional smaller canvas sizes for detect(): each image runs on the smallest
 # bucket that admits its full reference scale (trunk compute ~ area).  Every
 # entry compiles one extra program variant.  Empty = single canvas.

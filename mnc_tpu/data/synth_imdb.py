@@ -10,11 +10,12 @@ from mnc_tpu.data.synthetic import SHAPE_NAMES, SyntheticShapes
 
 class SyntheticIMDB(IMDB):
     def __init__(self, canvas_hw=(128, 160), num_classes=6, max_gt=8,
-                 gt_mask_size=28, num_images=64, seed=0):
+                 gt_mask_size=28, num_images=64, seed=0, n_range=None):
         names = ("__background__",) + SHAPE_NAMES[: num_classes - 1]
         super().__init__(f"synthetic_{num_images}", names)
+        gen_kw = {} if n_range is None else {"n_range": tuple(n_range)}
         self.gen = SyntheticShapes(canvas_hw, num_classes, max_gt, gt_mask_size,
-                                   seed=seed, num_images=num_images)
+                                   seed=seed, num_images=num_images, **gen_kw)
         self.gt_mask_size = gt_mask_size
 
     @property

@@ -35,6 +35,21 @@ from mnc_tpu.models.vgg import VGG16Trunk
 from mnc_tpu.models.resnet import ResNetTrunk
 
 
+def _cap(ref_val: int, static_val: int, ref_key: str, static_key: str) -> int:
+    """Reference knob capped by its STATIC compile-time budget — loudly.
+
+    ``warnings`` dedupes repeats, so a capped config warns once per process
+    instead of on every ``from_cfg`` call."""
+    if ref_val > static_val:
+        import warnings
+
+        warnings.warn(
+            f"{ref_key}={ref_val} is CAPPED by {static_key}={static_val}; "
+            f"the compiled working set is {static_val}. Raise {static_key} "
+            f"to actually run the requested budget.", stacklevel=3)
+    return min(static_val, ref_val)
+
+
 @dataclasses.dataclass(frozen=True)
 class MNCArch:
     """Static architecture/shape configuration (compile-time constants)."""
@@ -128,18 +143,28 @@ class MNCArch:
                 cfg.NET.SUPPRESS_UNTRAINABLE_ANCHORS),
             # the effective working set is the REFERENCE knob capped by the
             # STATIC compile-time budget (so reference YAMLs lower it 1:1 and
-            # STATIC bounds the padded shapes)
-            pre_nms_top_n=(min(cfg.STATIC.TRAIN_PRE_NMS_TOP_N,
-                               cfg.TRAIN.RPN_PRE_NMS_TOP_N) if train
-                           else min(cfg.STATIC.TEST_PRE_NMS_TOP_N,
-                                    cfg.TEST.RPN_PRE_NMS_TOP_N)),
+            # STATIC bounds the padded shapes); capping is LOUD so a parity
+            # experiment that raises the reference knob can't silently run
+            # a smaller working set (VERDICT r2)
+            pre_nms_top_n=(_cap(cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+                                cfg.STATIC.TRAIN_PRE_NMS_TOP_N,
+                                "TRAIN.RPN_PRE_NMS_TOP_N",
+                                "STATIC.TRAIN_PRE_NMS_TOP_N") if train
+                           else _cap(cfg.TEST.RPN_PRE_NMS_TOP_N,
+                                     cfg.STATIC.TEST_PRE_NMS_TOP_N,
+                                     "TEST.RPN_PRE_NMS_TOP_N",
+                                     "STATIC.TEST_PRE_NMS_TOP_N")),
             # reference knob capped by STATIC, rounded up to the 8-sublane
             # pad (STATIC.TEST_POST_NMS_TOP_N=304 IS the padded 300)
-            post_nms_top_n=(min(cfg.STATIC.TRAIN_POST_NMS_TOP_N,
-                                -(-cfg.TRAIN.RPN_POST_NMS_TOP_N // 8) * 8)
+            post_nms_top_n=(_cap(-(-cfg.TRAIN.RPN_POST_NMS_TOP_N // 8) * 8,
+                                 cfg.STATIC.TRAIN_POST_NMS_TOP_N,
+                                 "TRAIN.RPN_POST_NMS_TOP_N (8-padded)",
+                                 "STATIC.TRAIN_POST_NMS_TOP_N")
                             if train
-                            else min(cfg.STATIC.TEST_POST_NMS_TOP_N,
-                                     -(-cfg.TEST.RPN_POST_NMS_TOP_N // 8) * 8)),
+                            else _cap(-(-cfg.TEST.RPN_POST_NMS_TOP_N // 8) * 8,
+                                      cfg.STATIC.TEST_POST_NMS_TOP_N,
+                                      "TEST.RPN_POST_NMS_TOP_N (8-padded)",
+                                      "STATIC.TEST_POST_NMS_TOP_N")),
             rpn_nms_thresh=(cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH),
             rpn_min_size=float(cfg.TRAIN.RPN_MIN_SIZE if train else cfg.TEST.RPN_MIN_SIZE),
             test_bbox_reg=bool(train or cfg.TEST.BBOX_REG),

@@ -55,6 +55,30 @@ def test_compat_only_mix_index_merges(tmp_path):
     assert cfg.TRAIN.MIX_INDEX is True
 
 
+def test_static_cap_is_loud():
+    """Raising a reference RPN working-set knob past its STATIC budget warns
+    (a parity experiment must not silently run the smaller compiled set)."""
+    import warnings
+
+    from mnc_tpu.models.mnc import MNCArch
+
+    cfg_from_list(["TEST.RPN_PRE_NMS_TOP_N", "9999",
+                   "STATIC.TEST_PRE_NMS_TOP_N", "1024"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        arch = MNCArch.from_cfg(train=False)
+    assert arch.pre_nms_top_n <= 1024
+    assert any("CAPPED by STATIC.TEST_PRE_NMS_TOP_N" in str(x.message)
+               for x in w), [str(x.message) for x in w]
+
+    cfg_from_list(["TEST.RPN_PRE_NMS_TOP_N", "512"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        arch = MNCArch.from_cfg(train=False)
+    assert arch.pre_nms_top_n == 512
+    assert not any("TEST.RPN_PRE_NMS_TOP_N" in str(x.message) for x in w)
+
+
 def test_type_coercion_errors():
     with pytest.raises(ValueError):
         cfg_from_list(["TRAIN.LEARNING_RATE", "not_a_number"])

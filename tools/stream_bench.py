@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Realistic-stream inference benchmark (round-2 verdict, next-round item 5).
+
+The headline bench (bench.py) measures the fixed-canvas batched device
+pipeline with host prep excluded.  The reference's 2.8 img/s was a REAL
+image-stream number — mixed sizes, host prep included — so this tool
+measures the same thing for us: the full ``MNCPipeline.detect`` host API
+over a synthetic mixed-size, mixed-orientation image stream shaped like VOC
+(500×375, 375×500, 500×333, 480×640, …), with a realistic
+``TEST.CANVAS_BUCKETS`` set:
+
+    python tools/stream_bench.py --images 64 --append docs/results/stream_r3.jsonl
+
+Reports:
+  - compile_s / n_variants: one-time per-canvas-variant compile cost
+  - img_per_sec: steady-state wall-clock throughput INCLUDING host resize,
+    device transfer (bit-packed by default), and full-resolution unmold
+  - img_per_sec_unpacked: same with packed transfer off (transfer-bound
+    over the tunnel; closer to a co-located host either way)
+"""
+
+import _init_paths  # noqa: F401
+import argparse
+import json
+import time
+
+# VOC-shaped (H, W) source sizes: 4:3 / 3:2 landscape + portrait mixes.
+VOC_SIZES = [
+    (375, 500), (500, 375), (333, 500), (500, 333),
+    (480, 640), (640, 480), (364, 480), (375, 500),
+]
+# Buckets sized so every VOC aspect ratio runs at the exact reference scale
+# (shorter side 600, cap 1000): 4:3 → 600×800 fits (608, 816); 3:2 →
+# 600×900 fits (608, 912).  Portraits use the transposed variants.
+DEFAULT_BUCKETS = "((608,816),(608,912))"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--params", default=None,
+                    help="npz params (default: random init — timing only)")
+    ap.add_argument("--images", type=int, default=64)
+    ap.add_argument("--buckets", default=DEFAULT_BUCKETS)
+    ap.add_argument("--no-buckets", action="store_true",
+                    help="single full canvas (+portrait) only")
+    ap.add_argument("--unpacked-too", action="store_true",
+                    help="also measure with packed transfer off")
+    ap.add_argument("--append", default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny arch on CPU (plumbing check)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mnc_tpu.config import cfg, cfg_from_list
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
+
+    if not args.no_buckets:
+        cfg_from_list(["TEST.CANVAS_BUCKETS", args.buckets])
+
+    if args.smoke:
+        arch = MNCArch(
+            canvas=(96, 128), anchor_scales=(2, 4, 8), num_classes=4,
+            mask_size=9, warp_hw=4, n_stages=5, fc_dim=48, mask_fc_dim=24,
+            pre_nms_top_n=64, post_nms_top_n=16, rpn_min_size=4.0,
+            compute_dtype=jnp.float32,
+        )
+        cfg_from_list(["TEST.CANVAS_BUCKETS", "((48,64),)",
+                       "TEST.SCALES", "(40,)", "TEST.MAX_SIZE", "64"])
+        sizes = [(40, 56), (56, 40), (48, 64), (33, 50)]
+        args.images = min(args.images, 8)
+    else:
+        arch = MNCArch.from_cfg(train=False)
+        sizes = VOC_SIZES
+
+    model = MNC(arch=arch)
+    if args.params:
+        from mnc_tpu.utils.checkpoint import load_npz
+
+        params = load_npz(args.params)
+    else:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((*arch.canvas, 3), jnp.float32),
+            jnp.array([arch.canvas[0], arch.canvas[1], 1.0], jnp.float32))
+    pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=0.01))
+
+    rs = np.random.RandomState(0)
+    stream = []
+    for i in range(args.images):
+        h, w = sizes[i % len(sizes)]
+        stream.append((rs.rand(h, w, 3) * 255).astype(np.uint8))
+
+    def run_pass(packed):
+        t0 = time.perf_counter()
+        for im in stream:
+            pipe.detect(im, packed=packed)
+        return time.perf_counter() - t0
+
+    # pass 1: compile every variant the stream touches (timed separately)
+    t0 = time.perf_counter()
+    run_pass(packed=True)
+    compile_pass_s = time.perf_counter() - t0
+    n_variants = len(pipe._variants)
+
+    t_steady = min(run_pass(packed=True) for _ in range(2))
+    rec = {
+        "metric": "stream_inference_img_per_sec",
+        "value": round(args.images / t_steady, 2),
+        "unit": "img/s",
+        "vs_baseline": round(args.images / t_steady / 2.8, 2),
+        "n_images": args.images,
+        "n_canvas_variants": n_variants,
+        "first_pass_s": round(compile_pass_s, 1),
+        "buckets": "none" if args.no_buckets else args.buckets,
+    }
+    print(json.dumps(rec), flush=True)
+    recs = [rec]
+    if args.unpacked_too:
+        run_pass(packed=False)  # compile packless postfetch variants
+        t_unpacked = min(run_pass(packed=False) for _ in range(2))
+        rec2 = dict(rec, metric="stream_inference_img_per_sec_unpacked",
+                    value=round(args.images / t_unpacked, 2),
+                    vs_baseline=round(args.images / t_unpacked / 2.8, 2))
+        del rec2["first_pass_s"]
+        print(json.dumps(rec2), flush=True)
+        recs.append(rec2)
+    if args.append:
+        with open(args.append, "a") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
