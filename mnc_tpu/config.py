@@ -110,6 +110,9 @@ __C.NET.N_STAGES = 5  # 3 or 5
 __C.NET.COMPUTE_DTYPE = "bfloat16"
 # Dual-pathway classification head (mask-pooled + box features concatenated).
 __C.NET.DUAL_PATHWAY = False
+# ResNet trunks: run conv5 per-RoI after warping (the reference COCO head)
+# instead of the fc6/fc7 tower.
+__C.NET.ROI_CONV5 = False
 # Zero proposals from anchor types with no trainable (fully-inside) position
 # on the canvas.  Set False when running imported/foreign weights — the
 # reference ProposalLayer scores all anchors (DESIGN.md §8).

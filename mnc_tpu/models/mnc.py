@@ -70,6 +70,9 @@ class MNCArch:
     fc_dim: int = 4096
     mask_fc_dim: int = 256
     dual_pathway: bool = False
+    # ResNet only: run the conv5 stage per-RoI after warping (the reference
+    # COCO-winning head, SURVEY.md §0) instead of the fc6/fc7 tower.
+    roi_conv5: bool = False
     # proposal shapes
     pre_nms_top_n: int = 1024
     post_nms_top_n: int = 304
@@ -139,6 +142,7 @@ class MNCArch:
             fc_dim=cfg.NET.FC_DIM,
             mask_fc_dim=cfg.NET.MASK_FC_DIM,
             dual_pathway=cfg.NET.DUAL_PATHWAY,
+            roi_conv5=bool(cfg.NET.ROI_CONV5),
             suppress_untrainable_anchors=bool(
                 cfg.NET.SUPPRESS_UNTRAINABLE_ANCHORS),
             # the effective working set is the REFERENCE knob capped by the
@@ -360,10 +364,19 @@ class MNC(nn.Module):
         # weights (reference 5-stage design).
         self.mask_head = MaskHead(mask_size=a.mask_size, fc_dim=a.mask_fc_dim,
                                   compute_dtype=a.compute_dtype)
-        self.classify_head = ClassifyHead(num_classes=a.num_classes, fc_dim=a.fc_dim,
-                                          compute_dtype=a.compute_dtype,
-                                          dual_pathway=a.dual_pathway,
-                                          pool_window=a.warp_hw // a.pooled_hw)
+        if a.roi_conv5:
+            from mnc_tpu.models.resnet import ConvRoIHead
+
+            assert a.trunk.startswith("resnet"), \
+                "NET.ROI_CONV5 is the ResNet per-RoI conv5 head"
+            self.classify_head = ConvRoIHead(num_classes=a.num_classes,
+                                             depth=int(a.trunk[6:]),
+                                             compute_dtype=a.compute_dtype)
+        else:
+            self.classify_head = ClassifyHead(num_classes=a.num_classes, fc_dim=a.fc_dim,
+                                              compute_dtype=a.compute_dtype,
+                                              dual_pathway=a.dual_pathway,
+                                              pool_window=a.warp_hw // a.pooled_hw)
 
     # ---- stage pieces (also used by the training loop) ----
 

@@ -56,6 +56,47 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class ConvRoIHead(nn.Module):
+    """Per-RoI conv5 classify head — the reference COCO-winning design.
+
+    The ResNet detection convention (He et al.; MNC's COCO entry used it,
+    SURVEY.md §0 + BASELINE configs[4]): the shared feature map stops at
+    conv4; the conv5 stage runs PER RoI on the warped features, followed by
+    global average pooling and linear cls/bbox predictors — no fc6/fc7
+    tower.  Mask pooling (the MNC mask-weighting of features) happens before
+    conv5, the same relative position it has before fc6 in the VGG head.
+
+    Enabled by ``NET.ROI_CONV5`` (MNCArch.roi_conv5); shares stage-4/5
+    weights exactly like the fc head.
+    """
+
+    num_classes: int = 21
+    depth: int = 101
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, roi_feat, soft_masks, train: bool = False):
+        """(N, 14, 14, 1024) warped conv4 features + (N, 14, 14) soft masks
+        → (cls_logits (N, C), bbox_pred (N, 4C))."""
+        from mnc_tpu.ops.mask_pooling import mask_pooling
+
+        x = mask_pooling(roi_feat, soft_masks).astype(self.compute_dtype)
+        n_blocks = _DEPTHS[self.depth][3]
+        # first block strides 2: 14×14 → 7×7 (the standard conv5 geometry)
+        x = Bottleneck(512, 2, True, self.compute_dtype, name="stage5_block0")(x)
+        for b in range(1, n_blocks):
+            x = Bottleneck(512, 1, False, self.compute_dtype,
+                           name=f"stage5_block{b}")(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, 2048)
+        cls = nn.Dense(self.num_classes, dtype=self.compute_dtype,
+                       param_dtype=jnp.float32, name="cls_score")(x)
+        bbox = nn.Dense(4 * self.num_classes, dtype=self.compute_dtype,
+                        param_dtype=jnp.float32,
+                        kernel_init=nn.initializers.normal(0.001),
+                        name="bbox_pred")(x)
+        return cls.astype(jnp.float32), bbox.astype(jnp.float32)
+
+
 class ResNetTrunk(nn.Module):
     """conv1…conv4 (stride 16).  Output channels: 1024."""
 

@@ -30,6 +30,43 @@ def test_resnet_cascade_integration():
     assert np.isfinite(np.asarray(out["cls_prob"])).all()
 
 
+def test_roi_conv5_head_cascade():
+    """The reference COCO design: conv5 runs per-RoI after warping
+    (MNCArch.roi_conv5).  Forward shapes hold, outputs are finite, and
+    gradients reach both the conv5 stage and — through mask pooling — the
+    mask head (the cascade's defining gradient path)."""
+    arch = MNCArch(canvas=(64, 96), anchor_scales=(1, 2, 4), num_classes=4,
+                   mask_size=9, warp_hw=4, n_stages=5, trunk="resnet50",
+                   roi_conv5=True, compute_dtype=jnp.float32, fc_dim=32,
+                   mask_fc_dim=16, pre_nms_top_n=32, post_nms_top_n=8,
+                   rpn_min_size=4.0, trunk_frozen=0)
+    model = MNC(arch=arch)
+    img = jnp.ones((*arch.canvas, 3), jnp.float32) * 10
+    info = jnp.array([64.0, 96.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, info)
+    # the head replaced fc6/fc7 with the conv5 stage
+    ch = params["params"]["classify_head"]
+    assert "stage5_block0" in ch and "fc6" not in ch
+    assert "bbox_pred" in ch and "cls_score" in ch  # export paths preserved
+
+    out = model.apply(params, img, info)
+    assert out["cls_prob"].shape == (8, 4)
+    assert out["bbox_pred"].shape == (8, 16)
+    assert np.isfinite(np.asarray(out["cls_prob"])).all()
+
+    def loss(p):
+        o = model.apply(p, img, info)
+        return jnp.sum(o["cls_prob"] ** 2)
+
+    g = jax.grad(loss)(params)
+    gp = g["params"]
+    assert np.abs(np.asarray(
+        gp["classify_head"]["stage5_block0"]["conv1"]["kernel"])).sum() > 0
+    # classification gradients reach the mask head via mask pooling
+    assert np.abs(np.asarray(
+        gp["mask_head"]["fc_mask"]["kernel"])).sum() > 0
+
+
 def test_resnet_frozen_stage_blocks_grads():
     trunk = ResNetTrunk(depth=50, compute_dtype=jnp.float32, frozen_stages=1)
     x = jnp.ones((32, 32, 3))

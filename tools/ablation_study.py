@@ -91,6 +91,10 @@ def main():
                           dataclasses.replace(post0, use_mask_merge=False)),
         "5stage_voteboth": (base,
                             dataclasses.replace(post0, vote_both_passes=True)),
+        # VERDICT r2 item 7: the deliberate deviation — score only anchor
+        # types trainable on this canvas — measured OFF (reference scored all)
+        "5stage_nosuppress": (dataclasses.replace(
+            base, suppress_untrainable_anchors=False), post0),
     }
     if args.only:
         variants = {args.only: variants[args.only]}

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--trunk", default="vgg16",
                     choices=("vgg16", "resnet50", "resnet101"),
                     help="conv trunk (--full-scale mode only)")
+    ap.add_argument("--roi-conv5", action="store_true",
+                    help="ResNet per-RoI conv5 classify head (reference COCO "
+                         "design) instead of the fc6/fc7 tower")
     ap.add_argument("--full-scale", action="store_true",
                     help="reference-scale arch: 640x1024 canvas, full VGG-16 "
                          "heads, MASK_SIZE 21, warp 14, anchors (8,16,32)x16")
@@ -68,6 +71,7 @@ def main():
             # deep trunks at full canvas exceed 16 GB HBM in backward without
             # rematerialization (observed: resnet101 batch 8 OOM)
             remat_trunk=args.trunk != "vgg16",
+            roi_conv5=args.roi_conv5,
         )
         train_cfg = dict(
             RPN_POSITIVE_OVERLAP=0.7, RPN_NEGATIVE_OVERLAP=0.3,
