@@ -38,6 +38,15 @@ def main():
     ap.add_argument("--trunk", default="vgg16",
                     choices=("vgg16", "resnet50", "resnet101"),
                     help="conv trunk (--full-scale mode only)")
+    ap.add_argument("--mask-size", type=int, default=21,
+                    help="MASK_SIZE (--full-scale only; paper says 28, code "
+                         "recall says 21 — VERDICT r2 ablation item 6)")
+    ap.add_argument("--pre-nms", type=int, default=2048,
+                    help="train pre-NMS working set (--full-scale only; "
+                         "reference 12000)")
+    ap.add_argument("--post-nms", type=int, default=512,
+                    help="train post-NMS RoI count (--full-scale only; "
+                         "reference 2000)")
     ap.add_argument("--roi-conv5", action="store_true",
                     help="ResNet per-RoI conv5 classify head (reference COCO "
                          "design) instead of the fc6/fc7 tower")
@@ -65,8 +74,10 @@ def main():
         # the reference-scale configuration (SURVEY §2.1 defaults), bf16 trunk
         arch = MNCArch(
             canvas=(640, 1024), anchor_scales=(8, 16, 32), num_classes=6,
-            mask_size=21, warp_hw=14, n_stages=5, fc_dim=4096, mask_fc_dim=256,
-            pre_nms_top_n=2048, post_nms_top_n=512, rpn_min_size=16.0,
+            mask_size=args.mask_size, warp_hw=14, n_stages=5, fc_dim=4096,
+            mask_fc_dim=256,
+            pre_nms_top_n=args.pre_nms, post_nms_top_n=args.post_nms,
+            rpn_min_size=16.0,
             trunk=args.trunk, trunk_frozen=0,
             # deep trunks at full canvas exceed 16 GB HBM in backward without
             # rematerialization (observed: resnet101 batch 8 OOM)
