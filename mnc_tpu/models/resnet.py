@@ -39,9 +39,12 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit symmetric padding (k//2 each side) — flax "SAME" pads
+        # asymmetrically on even sizes at stride 2, a one-pixel shift vs the
+        # torch/Caffe convention the pretrained weights were trained under
         conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
-            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
         residual = x
         y = conv(self.features, 1, self.stride, "conv1")(x)
@@ -114,10 +117,12 @@ class ResNetTrunk(nn.Module):
         x = x.astype(self.compute_dtype)
         blocks = _DEPTHS[self.depth][:3]  # stages conv2..conv4 → stride 16
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-                    dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv1")(x)
+        # symmetric padding, matching torch/Caffe (see Bottleneck note)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.compute_dtype,
+                    param_dtype=jnp.float32, name="conv1")(x)
         x = nn.relu(FrozenBN(64, self.compute_dtype, name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         if self.frozen_stages >= 1:
             x = jax.lax.stop_gradient(x)
 

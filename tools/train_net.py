@@ -112,6 +112,11 @@ def main():
                                            arch.bbox_stds)
             print("caffemodel bbox_pred re-normalized for training "
                   f"(stds {arch.bbox_stds})")
+        elif arch.trunk.startswith("resnet"):
+            from mnc_tpu.utils.weights import load_resnet_torchvision
+
+            params = load_resnet_torchvision(params, weights_path=args.weights,
+                                             depth=int(arch.trunk[6:]))
         else:
             from mnc_tpu.utils.weights import load_vgg16_torchvision
 
