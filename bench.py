@@ -116,6 +116,9 @@ def _bench():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from mnc_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from mnc_tpu.config import cfg_from_list
