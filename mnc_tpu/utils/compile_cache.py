@@ -22,13 +22,25 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
                             "output", "xla_cache")
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+def enable_compilation_cache(cache_dir: str | None = None,
+                             force: bool = False) -> str | None:
     """Turn on JAX's on-disk compilation cache; returns the dir (or None).
 
     Safe to call before or after backend init (config flags only — does not
     create a device client).  Compiles faster than ~2 s are not cached (the
     disk round-trip wouldn't pay).
+
+    CPU runs are excluded unless ``force``: XLA:CPU caches AOT machine code
+    keyed loosely enough that entries replay across differing host-feature
+    sets (observed in this VM: 'prefer-no-scatter … not supported on the
+    host machine … could lead to SIGILL').  The multi-minute compiles this
+    cache exists for (tiled NMS, canvas variants) are TPU-side anyway.
     """
+    import sys
+
+    if not force and ("--cpu" in sys.argv or "--smoke" in sys.argv
+                      or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"):
+        return None
     if cache_dir is None:
         cache_dir = os.environ.get("MNC_XLA_CACHE_DIR") or _DEFAULT_DIR
     if cache_dir.lower() in ("off", "none", "0", ""):

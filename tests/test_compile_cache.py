@@ -9,7 +9,7 @@ from mnc_tpu.utils.compile_cache import enable_compilation_cache
 
 
 def test_enable_sets_flags_and_writes_entries(tmp_path):
-    d = enable_compilation_cache(str(tmp_path / "xla"))
+    d = enable_compilation_cache(str(tmp_path / "xla"), force=True)
     assert d == str(tmp_path / "xla") and os.path.isdir(d)
     assert jax.config.jax_compilation_cache_dir == d
     # drop the min-compile-time floor so a trivial program gets cached
@@ -22,5 +22,10 @@ def test_enable_sets_flags_and_writes_entries(tmp_path):
 
 
 def test_opt_out():
-    assert enable_compilation_cache("off") is None
-    assert enable_compilation_cache("none") is None
+    assert enable_compilation_cache("off", force=True) is None
+    assert enable_compilation_cache("none", force=True) is None
+
+
+def test_cpu_guard(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert enable_compilation_cache("/tmp/should_not_be_used") is None

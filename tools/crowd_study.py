@@ -103,8 +103,17 @@ def main():
             t_det += time.perf_counter() - t0
             out = unpack_canvas_masks(out, arch.canvas[1])
             dets.extend(collect_detections(out, i, score_thresh=0.05))
+        # does the per-class cap bind?  count reported dets per (image, class):
+        # if the max over all cells is < dets_per_class, the cap provably did
+        # not truncate anything at this density (direct evidence for the
+        # "identical mAP across caps" result).
+        from collections import Counter
+
+        cell = Counter((d["image_id"], d["class_id"]) for d in dets)
+        max_cell = max(cell.values()) if cell else 0
         rec = {
             "config": f"dets_per_class={dets_pc},vote_top_k={vote_k or 'all'}",
+            "max_dets_per_image_class": max_cell,
             "instances_per_image": round(n_gt / len(val_ex), 1),
             "map_r_050": round(eval_sds(dets, gt, val.num_classes, 0.5)["map"], 4),
             "map_r_070": round(eval_sds(dets, gt, val.num_classes, 0.7)["map"], 4),

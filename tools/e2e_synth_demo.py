@@ -25,6 +25,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--init-params", default=None,
+                    help="npz checkpoint to fine-tune from (e.g. the trained "
+                         "flagship, for crowd-density adaptation studies)")
+    ap.add_argument("--n-range", type=int, nargs=2, default=None,
+                    metavar=("MIN", "MAX"),
+                    help="instances per synthetic image (with --max-gt; "
+                         "default: generator default, ≤6 at full scale)")
+    ap.add_argument("--max-gt", type=int, default=None,
+                    help="gt capacity per image (override for crowded scenes)")
     ap.add_argument("--eval-images", type=int, default=8)
     ap.add_argument("--eval-every", type=int, default=0,
                     help="evaluate mAP^r every N iters (0 = only at end)")
@@ -103,17 +112,30 @@ def main():
             BG_THRESH_HI=0.5, BG_THRESH_LO=0.0,
         )
         gt_mask_size, max_gt = 24, 4
+    if args.max_gt is not None:
+        max_gt = args.max_gt
+    n_range_kw = {} if args.n_range is None else {"n_range": tuple(args.n_range)}
     imdb = SyntheticIMDB(canvas_hw=arch.canvas, num_classes=arch.num_classes,
                          max_gt=max_gt, gt_mask_size=gt_mask_size,
-                         num_images=args.train_images, seed=1)
+                         num_images=args.train_images, seed=1, **n_range_kw)
     val = SyntheticIMDB(canvas_hw=arch.canvas, num_classes=arch.num_classes,
                         max_gt=max_gt, gt_mask_size=gt_mask_size,
-                        num_images=args.eval_images, seed=99)
+                        num_images=args.eval_images, seed=99, **n_range_kw)
 
     model = MNC(arch=arch)
     ex0 = imdb.example(0)
     params = model.init(jax.random.PRNGKey(args.seed),
                         jnp.asarray(ex0["image"]), jnp.asarray(ex0["im_info"]))
+    if args.init_params:
+        from mnc_tpu.utils.checkpoint import load_npz
+
+        loaded = load_npz(args.init_params)
+        chex_shapes = jax.tree.map(lambda a, b: a.shape == b.shape,
+                                   params, loaded)
+        assert all(jax.tree.leaves(chex_shapes)), \
+            "--init-params checkpoint shape mismatch with this arch"
+        params = loaded
+        print(f"fine-tuning from {args.init_params}", flush=True)
     stepsize = args.stepsize or max(args.iters * 3 // 4, 1)
     tx = make_optimizer(params, base_lr=args.lr, stepsize=stepsize,
                         clip_gradients=10.0)
