@@ -9,3 +9,8 @@ from mnc_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from mnc_tpu.parallel.tensor import (  # noqa: F401
+    hybrid_parallel_train_step,
+    mnc_tp_shardings,
+    shard_train_state,
+)

@@ -152,13 +152,14 @@ def mnc_loss(params, model: MNC, batch: dict, key: jax.Array, arch: MNCArch,
     return total, losses
 
 
-def make_train_step(model: MNC, tx: optax.GradientTransformation, arch: MNCArch,
-                    train_cfg: dict, donate: bool = True):
-    """Build the jitted train step: (state, batch, key) → (state, metrics).
+def build_train_step(model: MNC, tx: optax.GradientTransformation, arch: MNCArch,
+                     train_cfg: dict):
+    """The UNJITTED train step: (state, batch, key) → (state, metrics).
 
     ``batch`` may be single-image (dicts of unbatched arrays) or image-batched
     (leading B axis on every array) — the loss is vmapped and averaged, the
-    reference's ``IMS_PER_BATCH`` generalized.
+    reference's ``IMS_PER_BATCH`` generalized.  Callers wrap it in ``jax.jit``
+    (``make_train_step``) or a sharded jit (``parallel/tensor.py``).
     """
     anchors = jnp.asarray(arch.all_anchors())
 
@@ -180,4 +181,11 @@ def make_train_step(model: MNC, tx: optax.GradientTransformation, arch: MNCArch,
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
 
+    return step
+
+
+def make_train_step(model: MNC, tx: optax.GradientTransformation, arch: MNCArch,
+                    train_cfg: dict, donate: bool = True):
+    """Jitted :func:`build_train_step` (the single-device / auto-SPMD entry)."""
+    step = build_train_step(model, tx, arch, train_cfg)
     return jax.jit(step, donate_argnums=(0,) if donate else ())

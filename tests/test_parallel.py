@@ -201,3 +201,42 @@ def test_spatial_trunk_partitioning_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(jax.device_get(out)),
                                np.asarray(jax.device_get(ref)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_dp_tp_matches_single_device(setup):
+    """2×4 data×model mesh (GSPMD, Megatron-split fc heads) == the plain
+    single-device step, leaf for leaf — and the fc kernels actually shard."""
+    from jax.sharding import PartitionSpec as P
+
+    from mnc_tpu.parallel import hybrid_parallel_train_step, shard_train_state
+
+    model, params, tx = setup
+    mesh = make_mesh({"data": 2, "model": 4})
+
+    sstep = make_train_step(model, tx, ARCH, TRAIN_CFG, donate=False)
+    s0 = TrainState.create(params, tx)
+    batch = {k: jnp.asarray(v) for k, v in DATA.batch(range(8)).items()}
+    key = jax.random.PRNGKey(11)
+    s1, m1 = sstep(s0, batch, key)
+
+    hstep = hybrid_parallel_train_step(model, tx, ARCH, TRAIN_CFG, mesh,
+                                       donate=False)
+    h0 = shard_train_state(TrainState.create(params, tx), mesh)
+    # input placement: fc6 kernel column-sharded, fc7 row-sharded
+    fc = h0.params["params"]["classify_head"]
+    assert fc["fc6"]["kernel"].sharding.spec == P(None, "model")
+    assert fc["fc7"]["kernel"].sharding.spec == P("model", None)
+    h1, m2 = hstep(h0, shard_batch(batch, mesh), key)
+
+    # GSPMD preserves semantics; only float reassociation differs (split
+    # matmul partial sums)
+    np.testing.assert_allclose(float(m2["total"]), float(m1["total"]),
+                               rtol=1e-4)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(jax.device_get(s1.params)),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(h1.params))):
+        assert p1 == p2
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=str(p1))
+    # updated params keep the TP layout (no silent re-replication)
+    out_fc = h1.params["params"]["classify_head"]
+    assert out_fc["fc6"]["kernel"].sharding.spec == P(None, "model")
