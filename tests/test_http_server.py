@@ -1,0 +1,98 @@
+"""HTTP serving front-end (mnc_tpu/pipeline/server.py)."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mnc_tpu.pipeline.server import decode_image, make_http_server
+
+
+@pytest.fixture()
+def server():
+    calls = []
+
+    def detect_fn(img):
+        calls.append(img.shape)
+        return {"instances": [{"box": [1.0, 2.0, 3.0, 4.0],
+                               "class_id": 1, "score": 0.9,
+                               "shape": list(img.shape)}]}
+
+    srv = make_http_server(detect_fn, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, calls
+    srv.shutdown()
+
+
+def _url(srv, path):
+    return f"http://127.0.0.1:{srv.server_address[1]}{path}"
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_healthz(server):
+    srv, _ = server
+    with urllib.request.urlopen(_url(srv, "/healthz"), timeout=10) as r:
+        assert json.load(r) == {"status": "ok"}
+
+
+def test_detect_npy_roundtrip(server):
+    srv, calls = server
+    img = np.random.RandomState(0).randint(0, 255, (30, 40, 3), np.uint8)
+    req = urllib.request.Request(_url(srv, "/detect"), data=_npy_bytes(img),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        out = json.load(r)
+    assert out["instances"][0]["shape"] == [30, 40, 3]
+    assert calls == [(30, 40, 3)]
+
+
+def test_detect_bad_body_400(server):
+    srv, _ = server
+    req = urllib.request.Request(_url(srv, "/detect"), data=b"not an image",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+
+
+def test_unknown_path_404(server):
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(_url(srv, "/nope"), timeout=10)
+    assert e.value.code == 404
+
+
+def test_detect_fn_error_500(server):
+    srv, calls = server
+    # a 2-channel npy decodes to None → 400; to reach 500 we need a valid
+    # image and a failing detect_fn — use a fresh server for that
+    srv.shutdown()
+
+    def boom(img):
+        raise RuntimeError("kaboom")
+
+    srv2 = make_http_server(boom, host="127.0.0.1", port=0)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    img = np.zeros((4, 4, 3), np.uint8)
+    req = urllib.request.Request(_url(srv2, "/detect"), data=_npy_bytes(img),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 500
+    srv2.shutdown()
+
+
+def test_decode_image_npy_shape_guard():
+    assert decode_image(_npy_bytes(np.zeros((5, 5), np.uint8))) is None
+    got = decode_image(_npy_bytes(np.zeros((5, 5, 3), np.uint8)))
+    assert got is not None and got.shape == (5, 5, 3)

@@ -32,6 +32,10 @@ def parse_args():
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     ap.add_argument("--conf", type=float, default=0.7)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve over HTTP instead of the batch loop: "
+                         "POST /detect (jpg/png or HWC uint8 .npy body), "
+                         "GET /healthz")
     return ap.parse_args()
 
 
@@ -81,13 +85,7 @@ def main():
 
     pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=0.0))
 
-    import cv2
-
-    def handle(path: str):
-        im = cv2.imread(path.strip())
-        if im is None:
-            print(json.dumps({"image": path, "error": "unreadable"}), flush=True)
-            return
+    def detect_to_json(im) -> dict:
         dets = pipe.detect(im)
         instances = []
         for k in range(len(dets["scores"])):
@@ -101,7 +99,25 @@ def main():
                 "mask_rle": {"size": list(rle["size"]),
                              "counts": rle["counts"].tolist()},
             })
-        print(json.dumps({"image": path, "instances": instances}), flush=True)
+        return {"instances": instances}
+
+    if args.http is not None:
+        from mnc_tpu.pipeline.server import make_http_server
+
+        srv = make_http_server(detect_to_json, port=args.http)
+        print(f"serving on :{srv.server_address[1]} "
+              "(POST /detect, GET /healthz)", flush=True)
+        srv.serve_forever()
+        return
+
+    import cv2
+
+    def handle(path: str):
+        im = cv2.imread(path.strip())
+        if im is None:
+            print(json.dumps({"image": path, "error": "unreadable"}), flush=True)
+            return
+        print(json.dumps({"image": path, **detect_to_json(im)}), flush=True)
 
     sources = args.images if args.images else sys.stdin
     for line in sources:
