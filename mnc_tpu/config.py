@@ -81,13 +81,15 @@ __C.STATIC.CANVAS = (640, 1024)
 # Anchors are laid over the stride-16 feature grid of the canvas.
 __C.STATIC.FEAT_STRIDE = 16
 # Static #proposals kept after top-k pre-NMS / after NMS (train, test).
-# Reference: 12000/2000 train, 6000/300 test.  TEST defaults to the full
-# reference 6000 working set (runnable via the tiled NMS; measured cost 3.7%
-# of img/s for +1.3/+0.9 mAP — docs/results/workingset_r2.jsonl).  TRAIN
-# stays at 2048: convergence is strong there and the train step is the
-# throughput-critical path.
-__C.STATIC.TRAIN_PRE_NMS_TOP_N = 2048
-__C.STATIC.TRAIN_POST_NMS_TOP_N = 512
+# Reference: 12000/2000 train, 6000/300 test.  BOTH default to the full
+# reference working sets (runnable via the tiled NMS).  Measured: test 6000
+# costs 3.7% img/s for +1.3/+0.9 mAP (docs/results/workingset_r2.jsonl);
+# train 12000/2000 costs ~44% step time (160 vs 111 ms at batch 8, TPU
+# v5e) but converges to +2.9 mAP@0.7 in HALF the iterations vs 2048/512
+# (0.791/0.763 @ 12k vs 0.790/0.734 @ 24k —
+# docs/results/e2e_refws12000_r3_metrics.jsonl).
+__C.STATIC.TRAIN_PRE_NMS_TOP_N = 12000
+__C.STATIC.TRAIN_POST_NMS_TOP_N = 2000
 __C.STATIC.TEST_PRE_NMS_TOP_N = 6000
 __C.STATIC.TEST_POST_NMS_TOP_N = 304  # padded 300 (multiple of 8 sublanes)
 # Max ground-truth instances per image (padded).
