@@ -164,7 +164,11 @@ class MNCPipeline:
         # portrait/landscape variants share params (convs + fixed-size warp
         # grids are canvas-independent); built lazily per orientation
         self._variants = {model.arch.canvas: (model, self._run)}
+        self._run_batch = self._make_run_batch(model)
+        self._batch_variants = {model.arch.canvas: self._run_batch}
 
+    def _make_run_batch(self, model):
+        @jax.jit
         def _run_batch_impl(params, images, im_infos):
             # batched cascade (fc heads amortized over B·N RoIs), then
             # per-image postprocess
@@ -172,10 +176,10 @@ class MNCPipeline:
             r, v, c, m = self._candidates(model, net_out, axis=1)
             return jax.vmap(
                 lambda r_, v_, c_, m_: postprocess_detections(
-                    r_, v_, c_, m_, self.post, self.arch.canvas)
+                    r_, v_, c_, m_, self.post, model.arch.canvas)
             )(r, v, c, m)
 
-        self._run_batch = jax.jit(_run_batch_impl)
+        return _run_batch_impl
 
     def _candidates(self, model, net_out, axis=0):
         return vote_candidates(net_out, self.post, model.arch.n_stages, axis)
@@ -247,6 +251,31 @@ class MNCPipeline:
             self._packed_variants[canvas_hw] = _run_packed
         return self._packed_variants[canvas_hw]
 
+    def _batch_variant(self, canvas_hw: tuple[int, int]):
+        """Batched run_fn for a canvas variant (compiled lazily per
+        (canvas, batch-size) combination — batch is a static dim)."""
+        if canvas_hw not in self._batch_variants:
+            model2, _ = self._variant(canvas_hw)
+            self._batch_variants[canvas_hw] = self._make_run_batch(model2)
+        return self._batch_variants[canvas_hw]
+
+    def _batch_packed_variant(self, canvas_hw: tuple[int, int]):
+        if not hasattr(self, "_batch_packed_variants"):
+            self._batch_packed_variants = {}
+        if canvas_hw not in self._batch_packed_variants:
+            run = self._batch_variant(canvas_hw)
+
+            @jax.jit
+            def _run_packed(params, images, infos):
+                out = run(params, images, infos)
+                if "canvas_masks" in out:
+                    out = dict(out, canvas_masks=jnp.packbits(
+                        out["canvas_masks"].astype(jnp.uint8), axis=-1))
+                return out
+
+            self._batch_packed_variants[canvas_hw] = _run_packed
+        return self._batch_packed_variants[canvas_hw]
+
     def detect_canvas(self, canvas: jnp.ndarray, im_info: jnp.ndarray) -> dict:
         return self._run(self.params, canvas, im_info)
 
@@ -315,6 +344,11 @@ class MNCPipeline:
         dets = jax.device_get(run(self.params, jnp.asarray(canvas), jnp.asarray(im_info)))
         if packed:
             dets = unpack_canvas_masks(dets, canvas_hw[1])
+        return self._finalize_host(dets, bgr_image.shape[:2], im_info)
+
+    @staticmethod
+    def _finalize_host(dets: dict, orig_hw: tuple[int, int], im_info) -> dict:
+        """Canvas-space device output → original-resolution host dict."""
         scale = float(im_info[2])
         out = {
             "boxes": dets["boxes"] / scale,
@@ -324,13 +358,58 @@ class MNCPipeline:
             "valid": dets["valid"],
         }
         if "canvas_masks" in dets:
-            h, w = bgr_image.shape[:2]
+            h, w = orig_hw
             sh, sw = int(im_info[0]), int(im_info[1])
             full = []
             for m in dets["canvas_masks"]:
                 full.append(_resize_mask_to(m[:sh, :sw], (h, w)))
             out["full_masks"] = np.stack(full).astype(np.uint8)
         return out
+
+    def detect_many(self, bgr_images, batch_size: int = 8,
+                    auto_orient: bool | None = None,
+                    packed: bool | None = None) -> list[dict]:
+        """Batched mixed-size host API: list of BGR images → list of
+        original-resolution detection dicts (same per-image contract as
+        :meth:`detect`).
+
+        Images are grouped by their picked canvas variant and run through the
+        batched cascade (``MNC.apply_batch`` — fc heads amortized over the
+        B·N flattened RoI set), tail chunks padded by repetition.  One
+        program compiles per (canvas variant, ``batch_size``); keep
+        ``batch_size`` fixed across calls.  This is the throughput path for
+        streams and micro-batched serving — single-image :meth:`detect`
+        re-streams the ~0.5 GB of fc weights from HBM per image, which
+        dominates at batch 1.
+        """
+        if auto_orient is None:
+            auto_orient = bool(cfg.TEST.AUTO_PORTRAIT)
+        if packed is None:
+            packed = bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+        preps, groups = [], {}
+        for i, im in enumerate(bgr_images):
+            h0, w0 = im.shape[:2]
+            chw = self._pick_canvas(h0, w0, auto_orient)
+            canvas, info = prep_im_for_blob(im, canvas_hw=chw)
+            preps.append((chw, canvas, info, (h0, w0)))
+            groups.setdefault(chw, []).append(i)
+        results: list = [None] * len(preps)
+        for chw, idxs in groups.items():
+            run = (self._batch_packed_variant(chw) if packed
+                   else self._batch_variant(chw))
+            for start in range(0, len(idxs), batch_size):
+                chunk = idxs[start:start + batch_size]
+                sel = chunk + [chunk[-1]] * (batch_size - len(chunk))
+                images = jnp.asarray(np.stack([preps[j][1] for j in sel]))
+                infos = jnp.asarray(np.stack([preps[j][2] for j in sel]))
+                dets = jax.device_get(run(self.params, images, infos))
+                for k, j in enumerate(chunk):
+                    d = {key: v[k] for key, v in dets.items()}
+                    if packed:
+                        d = unpack_canvas_masks(d, chw[1])
+                    results[j] = self._finalize_host(d, preps[j][3],
+                                                     preps[j][2])
+        return results
 
 
 def unpack_canvas_masks(dets: dict, canvas_w: int) -> dict:

@@ -225,3 +225,45 @@ def test_canvas_buckets_pick_smallest_fitting():
             pipe._pick_canvas(60, 80, True)
     finally:
         cfg.TEST.SCALES, cfg.TEST.MAX_SIZE, cfg.TEST.CANVAS_BUCKETS = saved
+
+
+def test_detect_many_matches_detect():
+    """Mixed-size batched host API == per-image detect(), including canvas
+    grouping, tail padding-by-repetition, and portrait variants."""
+    from mnc_tpu.config import cfg
+
+    arch = MNCArch(canvas=(64, 96), anchor_scales=(1, 2, 4), num_classes=4,
+                   mask_size=9, warp_hw=4, n_stages=3,
+                   compute_dtype=jnp.float32, fc_dim=32, mask_fc_dim=16,
+                   pre_nms_top_n=32, post_nms_top_n=8, rpn_min_size=2.0)
+    model = MNC(arch=arch)
+    img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img0,
+                        jnp.array([64.0, 96.0, 1.0]))
+    pipe = MNCPipeline(model, params,
+                       PostCfg(dets_per_class=4, max_per_image=6, vote_top_k=8))
+
+    rs = np.random.RandomState(2)
+    imgs = [  # 3 landscape + 2 portrait → 2 canvas groups, odd tails both
+        (rs.rand(60, 120, 3) * 255).astype(np.uint8),
+        (rs.rand(50, 100, 3) * 255).astype(np.uint8),
+        (rs.rand(120, 60, 3) * 255).astype(np.uint8),
+        (rs.rand(60, 110, 3) * 255).astype(np.uint8),
+        (rs.rand(100, 55, 3) * 255).astype(np.uint8),
+    ]
+    saved = cfg.TEST.SCALES, cfg.TEST.MAX_SIZE
+    try:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = (48,), 96
+        many = pipe.detect_many(imgs, batch_size=2, auto_orient=True,
+                                packed=True)
+        for im, got in zip(imgs, many):
+            want = pipe.detect(im, auto_orient=True, packed=True)
+            assert got["full_masks"].shape == want["full_masks"].shape
+            np.testing.assert_array_equal(got["valid"], want["valid"])
+            np.testing.assert_allclose(got["boxes"], want["boxes"],
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(got["scores"], want["scores"],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_array_equal(got["full_masks"], want["full_masks"])
+    finally:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = saved

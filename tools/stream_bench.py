@@ -45,6 +45,9 @@ def main():
                     help="single full canvas (+portrait) only")
     ap.add_argument("--unpacked-too", action="store_true",
                     help="also measure with packed transfer off")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also measure detect_many at this batch size "
+                         "(canvas-grouped micro-batching; 0 = skip)")
     ap.add_argument("--append", default=None)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny arch on CPU (plumbing check)")
@@ -130,6 +133,23 @@ def main():
         del rec2["first_pass_s"]
         print(json.dumps(rec2), flush=True)
         recs.append(rec2)
+    if args.batch:
+        def run_batched():
+            t0 = time.perf_counter()
+            pipe.detect_many(stream, batch_size=args.batch, packed=True)
+            return time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        run_batched()  # compile the per-(canvas, batch) programs
+        batch_compile_s = time.perf_counter() - t0
+        t_batched = min(run_batched() for _ in range(2))
+        rec3 = dict(rec, metric="stream_inference_img_per_sec_batched",
+                    value=round(args.images / t_batched, 2),
+                    vs_baseline=round(args.images / t_batched / 2.8, 2),
+                    batch=args.batch,
+                    first_pass_s=round(batch_compile_s, 1))
+        print(json.dumps(rec3), flush=True)
+        recs.append(rec3)
     if args.append:
         with open(args.append, "a") as f:
             for r in recs:
