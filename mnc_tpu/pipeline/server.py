@@ -9,8 +9,15 @@ adds the network-shaped entry point: a stdlib ``ThreadingHTTPServer`` with
   the per-image detection JSON;
 - ``GET /healthz`` — liveness probe.
 
-Inference is serialized with a lock: one TPU pipeline, requests queue (the
-device is the bottleneck, not the accept loop — threads only overlap I/O).
+Two inference modes:
+
+- single (``detect_fn``): requests serialize behind a lock;
+- micro-batched (``batch_fn`` + :class:`MicroBatcher`): concurrent requests
+  coalesce (up to ``max_batch`` or ``max_wait_ms``) into ONE device batch
+  through ``MNCPipeline.detect_many`` — the TPU serving pattern: batch-1
+  inference re-streams the fc weights from HBM per image, so coalescing
+  multiplies throughput at a bounded latency cost.
+
 No external dependencies; the detect function is injected, so the server is
 unit-testable without compiling a model.
 """
@@ -19,7 +26,9 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable
 
@@ -43,15 +52,92 @@ def decode_image(data: bytes) -> np.ndarray | None:
         return None
 
 
-def make_http_server(detect_fn: Callable[[np.ndarray], dict],
-                     host: str = "0.0.0.0",
-                     port: int = 8080) -> ThreadingHTTPServer:
-    """Build (not start) the server.  ``detect_fn``: BGR image → JSON dict.
+class MicroBatcher:
+    """Coalesce concurrent single-image requests into device batches.
 
-    Start with ``server.serve_forever()``; ``server.server_address[1]``
-    gives the bound port (pass ``port=0`` for an ephemeral one).
+    ``batch_fn``: list of images → list of result dicts (one per image, in
+    order) — e.g. a ``MNCPipeline.detect_many`` wrapper with a FIXED
+    ``batch_size`` (detect_many pads every chunk, so ragged arrivals don't
+    trigger recompiles).  A worker thread drains the queue: it waits for
+    the first request, then collects up to ``max_batch`` more for at most
+    ``max_wait_ms``, and runs them as one call.
     """
-    lock = threading.Lock()
+
+    def __init__(self, batch_fn: Callable[[list], list], max_batch: int = 8,
+                 max_wait_ms: float = 10.0):
+        self._batch_fn = batch_fn
+        self._max_batch = max_batch
+        self._max_wait_s = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._running = True
+        self.batch_sizes: list[int] = []  # observability
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, img: np.ndarray) -> dict:
+        """Blocking: enqueue one image, wait for its batch to run."""
+        done = threading.Event()
+        box: dict = {}
+        self._q.put((img, done, box))
+        done.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["out"]
+
+    def _loop(self):
+        while self._running:
+            try:
+                items = [self._q.get(timeout=0.1)]
+            except queue.Empty:
+                continue
+            deadline = time.monotonic() + self._max_wait_s
+            while len(items) < self._max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            self.batch_sizes.append(len(items))
+            try:
+                outs = self._batch_fn([im for im, _, _ in items])
+            except Exception as e:  # noqa: BLE001 — propagate per request
+                for _, done, box in items:
+                    box["error"] = e
+                    done.set()
+                continue
+            for (_, done, box), out in zip(items, outs):
+                box["out"] = out
+                done.set()
+
+    def close(self):
+        self._running = False
+        self._thread.join(timeout=1.0)
+
+
+def make_http_server(detect_fn: Callable[[np.ndarray], dict] | None = None,
+                     host: str = "0.0.0.0",
+                     port: int = 8080,
+                     batch_fn: Callable[[list], list] | None = None,
+                     max_batch: int = 8,
+                     max_wait_ms: float = 10.0) -> ThreadingHTTPServer:
+    """Build (not start) the server.
+
+    Exactly one of ``detect_fn`` (single-image, lock-serialized) or
+    ``batch_fn`` (list → list, micro-batched via :class:`MicroBatcher`)
+    must be given.  Start with ``server.serve_forever()``;
+    ``server.server_address[1]`` gives the bound port (pass ``port=0`` for
+    an ephemeral one).  A ``batch_fn`` server exposes the batcher as
+    ``server.batcher`` (``close()`` it on shutdown).
+    """
+    assert (detect_fn is None) != (batch_fn is None), \
+        "pass exactly one of detect_fn / batch_fn"
+    batcher = (MicroBatcher(batch_fn, max_batch, max_wait_ms)
+               if batch_fn is not None else None)
+    if batcher is not None:
+        detect_fn = batcher.submit
+    lock = threading.Lock() if batcher is None else None
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default; errors go to JSON
@@ -82,11 +168,16 @@ def make_http_server(detect_fn: Callable[[np.ndarray], dict],
                                            "or a HWC uint8 .npy)"})
                 return
             try:
-                with lock:
+                if lock is None:  # micro-batched: the batcher serializes
                     out = detect_fn(img)
+                else:
+                    with lock:
+                        out = detect_fn(img)
             except Exception as e:  # surface, don't kill the server
                 self._reply(500, {"error": repr(e)})
                 return
             self._reply(200, out)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.batcher = batcher
+    return srv

@@ -96,3 +96,72 @@ def test_decode_image_npy_shape_guard():
     assert decode_image(_npy_bytes(np.zeros((5, 5), np.uint8))) is None
     got = decode_image(_npy_bytes(np.zeros((5, 5, 3), np.uint8)))
     assert got is not None and got.shape == (5, 5, 3)
+
+
+def test_micro_batcher_coalesces():
+    """Concurrent submits coalesce into one batch_fn call; results map back
+    to their submitters in order."""
+    import time as _time
+
+    from mnc_tpu.pipeline.server import MicroBatcher
+
+    def batch_fn(imgs):
+        _time.sleep(0.05)  # hold the worker so submits pile up
+        return [{"mean": float(np.mean(im))} for im in imgs]
+
+    mb = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=100)
+    imgs = [np.full((2, 2, 3), v, np.uint8) for v in (10, 20, 30, 40, 50)]
+    outs = [None] * len(imgs)
+
+    def worker(i):
+        outs[i] = mb.submit(imgs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert [o["mean"] for o in outs] == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert max(mb.batch_sizes) > 1, mb.batch_sizes  # coalescing happened
+    assert max(mb.batch_sizes) <= 4
+    mb.close()
+
+
+def test_micro_batcher_error_propagates():
+    from mnc_tpu.pipeline.server import MicroBatcher
+
+    def boom(imgs):
+        raise ValueError("nope")
+
+    mb = MicroBatcher(boom, max_batch=2, max_wait_ms=1)
+    with pytest.raises(ValueError):
+        mb.submit(np.zeros((2, 2, 3), np.uint8))
+    mb.close()
+
+
+def test_http_server_batched_mode():
+    """End-to-end: server with batch_fn serves concurrent POSTs."""
+    def batch_fn(imgs):
+        return [{"instances": [], "hw": list(im.shape[:2])} for im in imgs]
+
+    srv = make_http_server(batch_fn=batch_fn, host="127.0.0.1", port=0,
+                           max_batch=4, max_wait_ms=50)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    results = [None] * 6
+
+    def post(i):
+        img = np.zeros((10 + i, 20, 3), np.uint8)
+        req = urllib.request.Request(_url(srv, "/detect"),
+                                     data=_npy_bytes(img), method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            results[i] = json.load(r)
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert [r["hw"] for r in results] == [[10 + i, 20] for i in range(6)]
+    srv.batcher.close()
+    srv.shutdown()

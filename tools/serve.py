@@ -36,6 +36,11 @@ def parse_args():
                     help="serve over HTTP instead of the batch loop: "
                          "POST /detect (jpg/png or HWC uint8 .npy body), "
                          "GET /healthz")
+    ap.add_argument("--http-batch", type=int, default=0, metavar="B",
+                    help="micro-batch concurrent /detect requests up to B "
+                         "per device call (detect_many; 0 = one at a time)")
+    ap.add_argument("--http-wait-ms", type=float, default=10.0,
+                    help="max coalescing wait for --http-batch")
     return ap.parse_args()
 
 
@@ -85,8 +90,7 @@ def main():
 
     pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=0.0))
 
-    def detect_to_json(im) -> dict:
-        dets = pipe.detect(im)
+    def dets_to_json(dets) -> dict:
         instances = []
         for k in range(len(dets["scores"])):
             if not dets["valid"][k] or dets["scores"][k] < args.conf:
@@ -101,10 +105,23 @@ def main():
             })
         return {"instances": instances}
 
+    def detect_to_json(im) -> dict:
+        return dets_to_json(pipe.detect(im))
+
     if args.http is not None:
         from mnc_tpu.pipeline.server import make_http_server
 
-        srv = make_http_server(detect_to_json, port=args.http)
+        if args.http_batch:
+            b = args.http_batch
+
+            def batch_to_json(imgs):
+                return [dets_to_json(d)
+                        for d in pipe.detect_many(imgs, batch_size=b)]
+
+            srv = make_http_server(batch_fn=batch_to_json, port=args.http,
+                                   max_batch=b, max_wait_ms=args.http_wait_ms)
+        else:
+            srv = make_http_server(detect_to_json, port=args.http)
         print(f"serving on :{srv.server_address[1]} "
               "(POST /detect, GET /healthz)", flush=True)
         srv.serve_forever()
