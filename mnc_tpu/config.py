@@ -65,7 +65,11 @@ __C.EXP_DIR = "default"
 __C.USE_GPU_NMS = True  # kept for YAML compat; on TPU, NMS is always on-device
 __C.GPU_ID = 0  # YAML compat; device selection is JAX's (ignored on TPU)
 # Mask resolution of the mask regression target/output.  The reference code used
-# 21 while the paper quotes 28 (SURVEY.md §2.1 "MASK_SIZE — verify").
+# 21 while the paper quotes 28 (SURVEY.md §2.1 "MASK_SIZE — verify").  Measured
+# (r3, full-scale synthetic, 15k iters, TPU): 28 beats 21 by +1.6/+1.7 mAP^r
+# @0.5/@0.7 at ~equal step cost (docs/results/e2e_mask28_r3_metrics.jsonl).
+# Default stays 21 for released-code/checkpoint parity (the released prototxt
+# regresses 21x21; imports auto-configure); prefer 28 for from-scratch runs.
 __C.MASK_SIZE = 21
 # Binarization threshold applied when pasting soft masks back into the image.
 __C.BINARIZE_THRESH = 0.4
