@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--append", default=None)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny arch on CPU (plumbing check)")
+    ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None,
+                    help="cfg overrides, e.g. --set NET.NUM_CLASSES 6 "
+                         "(must match --params checkpoint shapes)")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +67,8 @@ def main():
     from mnc_tpu.models.mnc import MNC, MNCArch
     from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
 
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
     if not args.no_buckets:
         cfg_from_list(["TEST.CANVAS_BUCKETS", args.buckets])
 
