@@ -191,6 +191,11 @@ __C.TEST.AUTO_PORTRAIT = True
 # Bit-pack canvas masks on device for the detect() host transfer (identical
 # outputs after host unpack; 8x less device->host traffic).
 __C.TEST.PACKED_TRANSFER = True
+# Skip the on-device canvas paste in detect()/detect_many() and unmold soft
+# masks on the host per valid detection (the reference's own unmold path):
+# ~35x less device->host transfer than even the packed canvas stack — the
+# right mode over slow device links (remote/tunneled hosts).
+__C.TEST.HOST_PASTE = False
 # Optional smaller canvas sizes for detect(): each image runs on the smallest
 # bucket that admits its full reference scale (trunk compute ~ area).  Every
 # entry compiles one extra program variant.  Empty = single canvas.

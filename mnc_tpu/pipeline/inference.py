@@ -184,15 +184,31 @@ class MNCPipeline:
     def _candidates(self, model, net_out, axis=0):
         return vote_candidates(net_out, self.post, model.arch.n_stages, axis)
 
-    def _make_run(self, model):
+    def _make_run(self, model, post: PostCfg | None = None):
+        post = post or self.post
+
         @jax.jit
         def _run(params, image, im_info):
             net_out = model.apply(params, image, im_info)
             r, v, c, m = self._candidates(model, net_out)
-            return postprocess_detections(r, v, c, m, self.post,
+            return postprocess_detections(r, v, c, m, post,
                                           model.arch.canvas)
 
         return _run
+
+    def _nopaste_variant(self, canvas_hw: tuple[int, int]):
+        """run_fn with on-device paste-back disabled: returns only the
+        (K, M, M) soft masks + boxes — ~35× less device→host transfer than
+        the packed canvas stack.  The host unmolds masks per valid
+        detection (the reference's own unmold path); everything up to the
+        mask output is bit-identical to the pasting variant."""
+        if not hasattr(self, "_nopaste_variants"):
+            self._nopaste_variants = {}
+        if canvas_hw not in self._nopaste_variants:
+            model2, _ = self._variant(canvas_hw)
+            post2 = dataclasses.replace(self.post, paste=False)
+            self._nopaste_variants[canvas_hw] = self._make_run(model2, post2)
+        return self._nopaste_variants[canvas_hw]
 
     def _pick_canvas(self, h0: int, w0: int, auto_orient: bool) -> tuple[int, int]:
         """Smallest canvas that admits the full reference scale for this
@@ -259,6 +275,27 @@ class MNCPipeline:
             self._batch_variants[canvas_hw] = self._make_run_batch(model2)
         return self._batch_variants[canvas_hw]
 
+    def _nopaste_batch_variant(self, canvas_hw: tuple[int, int]):
+        """Batched run_fn without on-device paste (see _nopaste_variant)."""
+        if not hasattr(self, "_nopaste_batch_variants"):
+            self._nopaste_batch_variants = {}
+        if canvas_hw not in self._nopaste_batch_variants:
+            model2, _ = self._variant(canvas_hw)
+            post2 = dataclasses.replace(self.post, paste=False)
+
+            @jax.jit
+            def _run_batch(params, images, im_infos):
+                net_out = model2.apply(params, images, im_infos,
+                                       method=MNC.apply_batch)
+                r, v, c, m = self._candidates(model2, net_out, axis=1)
+                return jax.vmap(
+                    lambda r_, v_, c_, m_: postprocess_detections(
+                        r_, v_, c_, m_, post2, model2.arch.canvas)
+                )(r, v, c, m)
+
+            self._nopaste_batch_variants[canvas_hw] = _run_batch
+        return self._nopaste_batch_variants[canvas_hw]
+
     def _batch_packed_variant(self, canvas_hw: tuple[int, int]):
         if not hasattr(self, "_batch_packed_variants"):
             self._batch_packed_variants = {}
@@ -317,7 +354,8 @@ class MNCPipeline:
         return self._run_batch_packed(self.params, canvases, im_infos)
 
     def detect(self, bgr_image: np.ndarray, auto_orient: bool | None = None,
-               packed: bool | None = None) -> dict:
+               packed: bool | None = None,
+               host_paste: bool | None = None) -> dict:
         """Full host API: BGR uint8 image → original-resolution detections.
 
         Returns numpy dict: boxes (K, 4) in original coords, scores (K,),
@@ -331,20 +369,40 @@ class MNCPipeline:
         ``packed`` (default cfg.TEST.PACKED_TRANSFER): bit-pack the canvas
         mask stack on device and unpack on the host — identical outputs, 8×
         less device→host transfer (the dominant cost over slow links).
+
+        ``host_paste`` (default cfg.TEST.HOST_PASTE): skip the on-device
+        canvas paste and transfer only the (K, M, M) soft masks (~35× less
+        than even the packed canvas stack); full_masks are unmolded on the
+        host per VALID detection — the reference's own unmold path
+        (cv2.resize into the box + threshold).  Boxes/scores/soft masks are
+        bit-identical to the pasting variant; full_masks differ only by
+        resampling route (one bilinear resize at original resolution vs
+        paste-at-canvas + resize).
         """
         if auto_orient is None:
             auto_orient = bool(cfg.TEST.AUTO_PORTRAIT)
+        if host_paste is None:
+            host_paste = bool(cfg.TEST.HOST_PASTE)
         if packed is None:
-            packed = bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+            packed = (bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+                      and not host_paste)
         h0, w0 = bgr_image.shape[:2]
         canvas_hw = self._pick_canvas(h0, w0, auto_orient)
-        run = (self._packed_variant(canvas_hw) if packed
-               else self._variant(canvas_hw)[1])
+        if host_paste:
+            run = self._nopaste_variant(canvas_hw)
+        else:
+            run = (self._packed_variant(canvas_hw) if packed
+                   else self._variant(canvas_hw)[1])
         canvas, im_info = prep_im_for_blob(bgr_image, canvas_hw=canvas_hw)
         dets = jax.device_get(run(self.params, jnp.asarray(canvas), jnp.asarray(im_info)))
         if packed:
             dets = unpack_canvas_masks(dets, canvas_hw[1])
-        return self._finalize_host(dets, bgr_image.shape[:2], im_info)
+        out = self._finalize_host(dets, bgr_image.shape[:2], im_info)
+        if host_paste:
+            out["full_masks"] = unmold_masks_host(
+                out["masks"], out["boxes"], out["valid"], (h0, w0),
+                self.post.binarize_thresh)
+        return out
 
     @staticmethod
     def _finalize_host(dets: dict, orig_hw: tuple[int, int], im_info) -> dict:
@@ -368,7 +426,8 @@ class MNCPipeline:
 
     def detect_many(self, bgr_images, batch_size: int = 8,
                     auto_orient: bool | None = None,
-                    packed: bool | None = None) -> list[dict]:
+                    packed: bool | None = None,
+                    host_paste: bool | None = None) -> list[dict]:
         """Batched mixed-size host API: list of BGR images → list of
         original-resolution detection dicts (same per-image contract as
         :meth:`detect`).
@@ -384,8 +443,11 @@ class MNCPipeline:
         """
         if auto_orient is None:
             auto_orient = bool(cfg.TEST.AUTO_PORTRAIT)
+        if host_paste is None:
+            host_paste = bool(cfg.TEST.HOST_PASTE)
         if packed is None:
-            packed = bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+            packed = (bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+                      and not host_paste)
         preps, groups = [], {}
         for i, im in enumerate(bgr_images):
             h0, w0 = im.shape[:2]
@@ -395,8 +457,11 @@ class MNCPipeline:
             groups.setdefault(chw, []).append(i)
         results: list = [None] * len(preps)
         for chw, idxs in groups.items():
-            run = (self._batch_packed_variant(chw) if packed
-                   else self._batch_variant(chw))
+            if host_paste:
+                run = self._nopaste_batch_variant(chw)
+            else:
+                run = (self._batch_packed_variant(chw) if packed
+                       else self._batch_variant(chw))
             for start in range(0, len(idxs), batch_size):
                 chunk = idxs[start:start + batch_size]
                 sel = chunk + [chunk[-1]] * (batch_size - len(chunk))
@@ -407,9 +472,59 @@ class MNCPipeline:
                     d = {key: v[k] for key, v in dets.items()}
                     if packed:
                         d = unpack_canvas_masks(d, chw[1])
-                    results[j] = self._finalize_host(d, preps[j][3],
-                                                     preps[j][2])
+                    out = self._finalize_host(d, preps[j][3], preps[j][2])
+                    if host_paste:
+                        out["full_masks"] = unmold_masks_host(
+                            out["masks"], out["boxes"], out["valid"],
+                            preps[j][3], self.post.binarize_thresh)
+                    results[j] = out
         return results
+
+
+def unmold_masks_host(masks: np.ndarray, boxes: np.ndarray,
+                      valid: np.ndarray, hw: tuple[int, int],
+                      binarize_thresh: float = 0.4) -> np.ndarray:
+    """Host-side mask unmold — ≙ the reference tester/demo unmold: per
+    valid detection, bilinear-resize the (M, M) soft mask into its box and
+    threshold into a full-resolution binary canvas.
+
+    Args:
+      masks: (K, M, M) soft masks in box frame.
+      boxes: (K, 4) boxes at the TARGET resolution (e.g. original image).
+      valid: (K,) bool; invalid rows produce all-zero masks (no resize paid).
+      hw: target (H, W).
+
+    Returns (K, H, W) uint8.
+    """
+    h, w = hw
+    out = np.zeros((len(masks), h, w), np.uint8)
+    for k in range(len(masks)):
+        if not valid[k]:
+            continue
+        x1, y1, x2, y2 = boxes[k]
+        xi1, yi1 = max(int(np.round(x1)), 0), max(int(np.round(y1)), 0)
+        xi2 = min(int(np.round(x2)) + 1, w)
+        yi2 = min(int(np.round(y2)) + 1, h)
+        bw, bh = xi2 - xi1, yi2 - yi1
+        if bw <= 0 or bh <= 0:
+            continue
+        m = _resize_soft(np.asarray(masks[k], np.float32), (bh, bw))
+        out[k, yi1:yi2, xi1:xi2] = (m > binarize_thresh).astype(np.uint8)
+    return out
+
+
+def _resize_soft(m: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(m, (hw[1], hw[0]), interpolation=cv2.INTER_LINEAR)
+    except ImportError:  # pragma: no cover
+        ys = np.clip((np.arange(hw[0]) + 0.5) * m.shape[0] / hw[0] - 0.5,
+                     0, m.shape[0] - 1)
+        xs = np.clip((np.arange(hw[1]) + 0.5) * m.shape[1] / hw[1] - 0.5,
+                     0, m.shape[1] - 1)
+        yi, xi = ys.astype(int), xs.astype(int)
+        return m[np.ix_(yi, xi)]
 
 
 def unpack_canvas_masks(dets: dict, canvas_w: int) -> dict:

@@ -267,3 +267,77 @@ def test_detect_many_matches_detect():
             np.testing.assert_array_equal(got["full_masks"], want["full_masks"])
     finally:
         cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = saved
+
+
+def test_detect_host_paste_matches_device_paste():
+    """TEST.HOST_PASTE: boxes/scores/soft masks bit-identical to the
+    device-paste route; full_masks agree up to the resampling route."""
+    arch = MNCArch(canvas=(64, 96), anchor_scales=(1, 2, 4), num_classes=4,
+                   mask_size=9, warp_hw=4, n_stages=3,
+                   compute_dtype=jnp.float32, fc_dim=32, mask_fc_dim=16,
+                   pre_nms_top_n=32, post_nms_top_n=8, rpn_min_size=2.0)
+    model = MNC(arch=arch)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((*arch.canvas, 3), jnp.float32),
+                        jnp.array([64.0, 96.0, 1.0]))
+    pipe = MNCPipeline(model, params,
+                       PostCfg(dets_per_class=4, max_per_image=6, vote_top_k=8))
+    from mnc_tpu.config import cfg
+
+    img = (np.random.RandomState(3).rand(60, 90, 3) * 255).astype(np.uint8)
+    saved = cfg.TEST.SCALES, cfg.TEST.MAX_SIZE
+    try:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = (48,), 96
+        dev = pipe.detect(img, auto_orient=False, host_paste=False)
+        host = pipe.detect(img, auto_orient=False, host_paste=True)
+    finally:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = saved
+
+    np.testing.assert_array_equal(host["valid"], dev["valid"])
+    np.testing.assert_allclose(host["boxes"], dev["boxes"], rtol=1e-5)
+    np.testing.assert_allclose(host["scores"], dev["scores"], rtol=1e-5)
+    np.testing.assert_allclose(host["masks"], dev["masks"], rtol=1e-5)
+    assert host["full_masks"].shape == dev["full_masks"].shape == \
+        (len(host["scores"]), 60, 90)
+    assert not host["full_masks"][~host["valid"]].any()
+    agree = 0
+    for k in range(len(host["scores"])):
+        if not host["valid"][k]:
+            continue
+        a, b = host["full_masks"][k] > 0, dev["full_masks"][k] > 0
+        if a.sum() > 20 and b.sum() > 20:
+            iou = (a & b).sum() / max((a | b).sum(), 1)
+            assert iou > 0.5, (k, iou)
+            agree += 1
+    assert agree > 0  # the comparison wasn't vacuous
+
+
+def test_detect_many_host_paste():
+    """detect_many(host_paste=True) per-image results == detect(host_paste)."""
+    arch = MNCArch(canvas=(64, 96), anchor_scales=(1, 2, 4), num_classes=4,
+                   mask_size=9, warp_hw=4, n_stages=3,
+                   compute_dtype=jnp.float32, fc_dim=32, mask_fc_dim=16,
+                   pre_nms_top_n=32, post_nms_top_n=8, rpn_min_size=2.0)
+    model = MNC(arch=arch)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((*arch.canvas, 3), jnp.float32),
+                        jnp.array([64.0, 96.0, 1.0]))
+    pipe = MNCPipeline(model, params,
+                       PostCfg(dets_per_class=4, max_per_image=6, vote_top_k=8))
+    from mnc_tpu.config import cfg
+
+    rs = np.random.RandomState(4)
+    imgs = [(rs.rand(60, 90, 3) * 255).astype(np.uint8) for _ in range(3)]
+    saved = cfg.TEST.SCALES, cfg.TEST.MAX_SIZE
+    try:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = (48,), 96
+        many = pipe.detect_many(imgs, batch_size=2, auto_orient=False,
+                                host_paste=True)
+        for im, got in zip(imgs, many):
+            want = pipe.detect(im, auto_orient=False, host_paste=True)
+            np.testing.assert_array_equal(got["valid"], want["valid"])
+            np.testing.assert_allclose(got["boxes"], want["boxes"],
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_array_equal(got["full_masks"], want["full_masks"])
+    finally:
+        cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = saved

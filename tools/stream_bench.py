@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure detect_many at this batch size "
                          "(canvas-grouped micro-batching; 0 = skip)")
+    ap.add_argument("--batched-only", action="store_true",
+                    help="skip the single-image passes (run the batched "
+                         "measurement in its own process: a full sweep "
+                         "leaves ~10 resident executables and the batched "
+                         "compile on top can crash the TPU worker)")
     ap.add_argument("--append", default=None)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny arch on CPU (plumbing check)")
@@ -110,26 +115,34 @@ def main():
             pipe.detect(im, packed=packed)
         return time.perf_counter() - t0
 
-    # pass 1: compile every variant the stream touches (timed separately)
-    t0 = time.perf_counter()
-    run_pass(packed=True)
-    compile_pass_s = time.perf_counter() - t0
-    n_variants = len(pipe._variants)
+    recs = []
+    if not args.batched_only:
+        # pass 1: compile every variant the stream touches (timed separately)
+        t0 = time.perf_counter()
+        run_pass(packed=True)
+        compile_pass_s = time.perf_counter() - t0
+        n_variants = len(pipe._variants)
 
-    t_steady = min(run_pass(packed=True) for _ in range(2))
-    rec = {
-        "metric": "stream_inference_img_per_sec",
-        "value": round(args.images / t_steady, 2),
-        "unit": "img/s",
-        "vs_baseline": round(args.images / t_steady / 2.8, 2),
-        "n_images": args.images,
-        "n_canvas_variants": n_variants,
-        "first_pass_s": round(compile_pass_s, 1),
-        "buckets": "none" if args.no_buckets else args.buckets,
-    }
-    print(json.dumps(rec), flush=True)
-    recs = [rec]
-    if args.unpacked_too:
+        t_steady = min(run_pass(packed=True) for _ in range(2))
+        rec = {
+            "metric": "stream_inference_img_per_sec",
+            "value": round(args.images / t_steady, 2),
+            "unit": "img/s",
+            "vs_baseline": round(args.images / t_steady / 2.8, 2),
+            "n_images": args.images,
+            "n_canvas_variants": n_variants,
+            "first_pass_s": round(compile_pass_s, 1),
+            "buckets": "none" if args.no_buckets else args.buckets,
+        }
+        print(json.dumps(rec), flush=True)
+        recs = [rec]
+    else:
+        rec = {
+            "unit": "img/s",
+            "n_images": args.images,
+            "buckets": "none" if args.no_buckets else args.buckets,
+        }
+    if args.unpacked_too and not args.batched_only:
         run_pass(packed=False)  # compile packless postfetch variants
         t_unpacked = min(run_pass(packed=False) for _ in range(2))
         rec2 = dict(rec, metric="stream_inference_img_per_sec_unpacked",
