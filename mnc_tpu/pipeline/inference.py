@@ -167,17 +167,41 @@ class MNCPipeline:
         self._run_batch = self._make_run_batch(model)
         self._batch_variants = {model.arch.canvas: self._run_batch}
 
-    def _make_run_batch(self, model):
+    def _make_run_batch(self, model, post: PostCfg | None = None,
+                        packed: bool = False):
+        """Batched cascade + per-image postprocess as TWO device dispatches.
+
+        Split at the cascade→postprocess boundary (one extra dispatch; the
+        small (B, N, ·) cascade outputs round-trip through HBM) so a device
+        fault can be attributed to one half.  Known issue: on the TPU
+        worker, batched runs at non-primary canvas variants (608×816 and/or
+        its transpose; 640×1024 is fine) crash the worker ("TPU worker
+        process crashed") — reproduced three times, including once with
+        this split, so the fault is inside one of the halves, not their
+        fusion.  The batched cascade alone ran clean at 608×816 under a
+        6-class arch; bisection at the default 21-class arch is pending
+        TPU recovery (see STATUS round-3 queue).
+        """
+        post = post or self.post
+
+        net = jax.jit(lambda p, im, ii: model.apply(
+            p, im, ii, method=MNC.apply_batch))
+
         @jax.jit
-        def _run_batch_impl(params, images, im_infos):
-            # batched cascade (fc heads amortized over B·N RoIs), then
-            # per-image postprocess
-            net_out = model.apply(params, images, im_infos, method=MNC.apply_batch)
+        def _post(net_out):
+            # per-image postprocess (fc outputs → NMS → voting → paste)
             r, v, c, m = self._candidates(model, net_out, axis=1)
-            return jax.vmap(
+            out = jax.vmap(
                 lambda r_, v_, c_, m_: postprocess_detections(
-                    r_, v_, c_, m_, self.post, model.arch.canvas)
+                    r_, v_, c_, m_, post, model.arch.canvas)
             )(r, v, c, m)
+            if packed and "canvas_masks" in out:
+                out = dict(out, canvas_masks=jnp.packbits(
+                    out["canvas_masks"].astype(jnp.uint8), axis=-1))
+            return out
+
+        def _run_batch_impl(params, images, im_infos):
+            return _post(net(params, images, im_infos))
 
         return _run_batch_impl
 
@@ -282,35 +306,17 @@ class MNCPipeline:
         if canvas_hw not in self._nopaste_batch_variants:
             model2, _ = self._variant(canvas_hw)
             post2 = dataclasses.replace(self.post, paste=False)
-
-            @jax.jit
-            def _run_batch(params, images, im_infos):
-                net_out = model2.apply(params, images, im_infos,
-                                       method=MNC.apply_batch)
-                r, v, c, m = self._candidates(model2, net_out, axis=1)
-                return jax.vmap(
-                    lambda r_, v_, c_, m_: postprocess_detections(
-                        r_, v_, c_, m_, post2, model2.arch.canvas)
-                )(r, v, c, m)
-
-            self._nopaste_batch_variants[canvas_hw] = _run_batch
+            self._nopaste_batch_variants[canvas_hw] = self._make_run_batch(
+                model2, post2)
         return self._nopaste_batch_variants[canvas_hw]
 
     def _batch_packed_variant(self, canvas_hw: tuple[int, int]):
         if not hasattr(self, "_batch_packed_variants"):
             self._batch_packed_variants = {}
         if canvas_hw not in self._batch_packed_variants:
-            run = self._batch_variant(canvas_hw)
-
-            @jax.jit
-            def _run_packed(params, images, infos):
-                out = run(params, images, infos)
-                if "canvas_masks" in out:
-                    out = dict(out, canvas_masks=jnp.packbits(
-                        out["canvas_masks"].astype(jnp.uint8), axis=-1))
-                return out
-
-            self._batch_packed_variants[canvas_hw] = _run_packed
+            model2, _ = self._variant(canvas_hw)
+            self._batch_packed_variants[canvas_hw] = self._make_run_batch(
+                model2, packed=True)
         return self._batch_packed_variants[canvas_hw]
 
     def detect_canvas(self, canvas: jnp.ndarray, im_info: jnp.ndarray) -> dict:
@@ -342,15 +348,8 @@ class MNCPipeline:
         """Batched detect with bit-packed canvas masks (see
         detect_canvas_packed)."""
         if not hasattr(self, "_run_batch_packed"):
-            @jax.jit
-            def _run_batch_packed(params, images, infos):
-                out = self._run_batch(params, images, infos)
-                if "canvas_masks" in out:
-                    out = dict(out, canvas_masks=jnp.packbits(
-                        out["canvas_masks"].astype(jnp.uint8), axis=-1))
-                return out
-
-            self._run_batch_packed = _run_batch_packed
+            self._run_batch_packed = self._make_run_batch(
+                self.model, packed=True)
         return self._run_batch_packed(self.params, canvases, im_infos)
 
     def detect(self, bgr_image: np.ndarray, auto_orient: bool | None = None,
