@@ -281,12 +281,23 @@ def propose_rois(
     neg_inf = jnp.finfo(jnp.float32).min
     masked = jnp.where(valid, scores, neg_inf)
     top_scores, top_idx = jax.lax.top_k(masked, arch.pre_nms_top_n)
-    top_boxes = boxes[top_idx]
+    # Materialize the (pre_nms, 4) working set before any downstream gather:
+    # without this barrier XLA chains the boxes[top_idx] gather with later
+    # gathers on its result into one fused kernel that fault-crashes the TPU
+    # worker at some canvas grids (batch-8 608×816 / 38×51 grid, bisected in
+    # round 3; 640×1024 unaffected).  Cost: one ~100 KB buffer
+    # materialization; the downstream NMS reads it repeatedly anyway.
+    top_boxes, top_scores = jax.lax.optimization_barrier(
+        (boxes[top_idx], top_scores))
     top_valid = top_scores > neg_inf
 
+    # presorted: top_k emits descending scores with the neg_inf padding
+    # trailing — nms_indices can skip its argsort (and the re-sort's gather
+    # composition, which fault-crashes the TPU worker at some canvas grids;
+    # see nms_indices docstring)
     idx, keep_valid = nms_indices(
         top_boxes, top_scores, top_valid, arch.rpn_nms_thresh,
-        arch.post_nms_top_n, chunk=arch.nms_chunk,
+        arch.post_nms_top_n, chunk=arch.nms_chunk, presorted=True,
     )
     rois = top_boxes[idx]
     roi_scores = jnp.where(keep_valid, top_scores[idx], 0.0)
@@ -482,9 +493,18 @@ class MNC(nn.Module):
 
         feat = self.features(images)  # conv trunk is natively batched
         rpn_cls, rpn_bbox = self.rpn(feat)
-        rois, roi_valid, _ = jax.vmap(
-            lambda c, bb, i: propose_rois(c, bb, i, anchors, a)
-        )(rpn_cls, rpn_bbox, im_infos)
+        # lax.map, NOT vmap: compiles the propose body once UNVMAPPED — the
+        # same program structure as the (everywhere-validated) single-image
+        # path.  The vmapped propose graph fault-crashes the TPU worker at
+        # some canvas grids (batch-8 608×816 / 38×51 grid — bisected round 3;
+        # the fault needs the conv+RPN producers, survives an
+        # optimization_barrier, and does not reproduce standalone, so it is
+        # dodged structurally rather than per-op).  The propose stage is
+        # ~2% of batch time; sequentializing it is noise, measured on
+        # hardware at 640×1024 (bench.py, see STATUS r3).
+        rois, roi_valid, _ = jax.lax.map(
+            lambda x: propose_rois(x[0], x[1], x[2], anchors, a),
+            (rpn_cls, rpn_bbox, im_infos))
 
         def flat_heads(rois_b):
             roi_feat = jax.vmap(self.warp)(feat, rois_b)  # (B, N, 14, 14, C)

@@ -133,6 +133,7 @@ def nms_indices(
     thresh,
     top_n: int,
     chunk: int | None = None,
+    presorted: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sort by score, run NMS, return the top ``top_n`` kept indices.
 
@@ -144,16 +145,29 @@ def nms_indices(
       top_n: static output count (padded with the last valid index).
       chunk: when set and K > chunk, use the tiled O(chunk²)-memory scan
         (reference working sets 6000/12000) instead of the (K, K) fixpoint.
+      presorted: inputs are already in descending-score order with invalid
+        entries trailing (e.g. straight out of ``lax.top_k``) — skips the
+        argsort + permutation gathers.  Exact: a stable descending argsort
+        of a descending sequence is the identity.  Besides dropping a
+        K-length sort per call, this removes a conv→top_k→argsort→gather
+        fused composition that faults the TPU worker at some canvas shapes
+        (e.g. batch-8 608×816, 38×51 grid — kernel crash reproduced and
+        bisected to exactly this composition; 640×1024 unaffected).
 
     Returns:
       (idx, keep_valid): idx (top_n,) int32 indices into the ORIGINAL arrays in
       descending-score order; keep_valid (top_n,) bool marks real entries.
     """
-    neg_inf = jnp.finfo(scores.dtype).min
-    masked_scores = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-masked_scores)
-    sorted_boxes = boxes[order]
-    sorted_valid = valid[order]
+    if presorted:
+        order = None
+        sorted_boxes = boxes
+        sorted_valid = valid
+    else:
+        neg_inf = jnp.finfo(scores.dtype).min
+        masked_scores = jnp.where(valid, scores, neg_inf)
+        order = jnp.argsort(-masked_scores)
+        sorted_boxes = boxes[order]
+        sorted_valid = valid[order]
     if chunk is not None and boxes.shape[0] > chunk:
         keep = nms_tiled(sorted_boxes, sorted_valid, thresh, top_n, chunk)
     else:
@@ -164,7 +178,7 @@ def nms_indices(
     sel_score = jnp.where(keep, -rank, jnp.iinfo(jnp.int32).min)
     top_score, top_pos = jax.lax.top_k(sel_score, top_n)
     keep_valid = top_score != jnp.iinfo(jnp.int32).min
-    idx = order[top_pos]
+    idx = top_pos if order is None else order[top_pos]
     # Padding entries point at the first box (always in-range).
     idx = jnp.where(keep_valid, idx, idx[0])
     return idx.astype(jnp.int32), keep_valid

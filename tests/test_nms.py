@@ -201,3 +201,27 @@ def test_nms_tiled_all_overlapping():
     idx, kv = nms_indices(boxes, scores, valid, 0.5, 10, chunk=512)
     assert int(np.asarray(kv).sum()) == 1
     assert int(np.asarray(idx)[0]) == 0
+
+
+@pytest.mark.parametrize("k,top_n,chunk", [(64, 16, None), (300, 32, 64)])
+def test_nms_indices_presorted_equals_sorted(rng, k, top_n, chunk):
+    """presorted=True on top_k-ordered inputs == the argsort path exactly
+    (the propose_rois fast path; also the workaround for the TPU worker
+    fault at some canvas grids — see nms_indices docstring)."""
+    boxes = random_boxes(rng, k)
+    scores = jnp.asarray(rng.rand(k).astype(np.float32))
+    valid = jnp.asarray(rng.rand(k) > 0.3)
+    # emulate propose_rois: top_k over masked scores -> sorted, padding last
+    neg_inf = jnp.finfo(jnp.float32).min
+    masked = jnp.where(valid, scores, neg_inf)
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_boxes = boxes[top_idx]
+    top_valid = top_scores > neg_inf
+    ref = nms_indices(top_boxes, top_scores, top_valid, 0.5, top_n, chunk=chunk)
+    fast = nms_indices(top_boxes, top_scores, top_valid, 0.5, top_n,
+                       chunk=chunk, presorted=True)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(fast[1]))
+    # padding idx may differ only where keep_valid is False and both point
+    # at a valid box; compare the real entries
+    kv = np.asarray(ref[1])
+    np.testing.assert_array_equal(np.asarray(ref[0])[kv], np.asarray(fast[0])[kv])
