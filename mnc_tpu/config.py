@@ -196,6 +196,12 @@ __C.TEST.PACKED_TRANSFER = True
 # ~35x less device->host transfer than even the packed canvas stack — the
 # right mode over slow device links (remote/tunneled hosts).
 __C.TEST.HOST_PASTE = False
+# Upload uint8 canvases from detect()/detect_many() and mean-subtract on
+# device (4x less host->device traffic — the dominant stream-inference cost
+# over a remote device link).  Mean subtraction commutes with the linear
+# resize; the only deviation from the reference float path is <=0.5-LSB
+# uint8 rounding after resize.  Off = reference-exact float canvases.
+__C.TEST.U8_TRANSFER = True
 # Optional smaller canvas sizes for detect(): each image runs on the smallest
 # bucket that admits its full reference scale (trunk compute ~ area).  Every
 # entry compiles one extra program variant.  Empty = single canvas.

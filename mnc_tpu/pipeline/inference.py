@@ -24,6 +24,20 @@ from mnc_tpu.ops.nms import nms_indices
 from mnc_tpu.utils.blob import prep_im_for_blob
 
 
+def _device_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 canvases → mean-subtracted float32 ON DEVICE (no-op for float).
+
+    The host APIs upload uint8 canvases when TEST.U8_TRANSFER is on — 4× less
+    host→device traffic (the dominant cost over a remote/tunneled device link;
+    measured ~50 MB/s vs ~75 ms of batch-8 compute).  jit specializes on input
+    dtype, so the float-canvas entry points (``detect_canvas*``) share the
+    same program builders unchanged."""
+    if images.dtype == jnp.uint8:
+        means = jnp.asarray(np.asarray(cfg.PIXEL_MEANS).reshape(-1), jnp.float32)
+        return images.astype(jnp.float32) - means
+    return images
+
+
 @dataclasses.dataclass(frozen=True)
 class PostCfg:
     """Static post-processing configuration (reference TEST.* semantics)."""
@@ -185,7 +199,7 @@ class MNCPipeline:
         post = post or self.post
 
         net = jax.jit(lambda p, im, ii: model.apply(
-            p, im, ii, method=MNC.apply_batch))
+            p, _device_normalize(im), ii, method=MNC.apply_batch))
 
         @jax.jit
         def _post(net_out):
@@ -213,7 +227,7 @@ class MNCPipeline:
 
         @jax.jit
         def _run(params, image, im_info):
-            net_out = model.apply(params, image, im_info)
+            net_out = model.apply(params, _device_normalize(image), im_info)
             r, v, c, m = self._candidates(model, net_out)
             return postprocess_detections(r, v, c, m, post,
                                           model.arch.canvas)
@@ -392,7 +406,8 @@ class MNCPipeline:
         else:
             run = (self._packed_variant(canvas_hw) if packed
                    else self._variant(canvas_hw)[1])
-        canvas, im_info = prep_im_for_blob(bgr_image, canvas_hw=canvas_hw)
+        canvas, im_info = prep_im_for_blob(bgr_image, canvas_hw=canvas_hw,
+                                           u8=bool(cfg.TEST.U8_TRANSFER))
         dets = jax.device_get(run(self.params, jnp.asarray(canvas), jnp.asarray(im_info)))
         if packed:
             dets = unpack_canvas_masks(dets, canvas_hw[1])
@@ -448,13 +463,19 @@ class MNCPipeline:
             packed = (bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
                       and not host_paste)
         preps, groups = [], {}
+        u8 = bool(cfg.TEST.U8_TRANSFER)
         for i, im in enumerate(bgr_images):
             h0, w0 = im.shape[:2]
             chw = self._pick_canvas(h0, w0, auto_orient)
-            canvas, info = prep_im_for_blob(im, canvas_hw=chw)
+            canvas, info = prep_im_for_blob(im, canvas_hw=chw, u8=u8)
             preps.append((chw, canvas, info, (h0, w0)))
             groups.setdefault(chw, []).append(i)
         results: list = [None] * len(preps)
+        # Phase 1 — dispatch every chunk without blocking: XLA queues the
+        # uploads + programs asynchronously, so chunk k+1's host→device copy
+        # overlaps chunk k's compute instead of serializing on a per-chunk
+        # device_get round-trip.
+        pending = []
         for chw, idxs in groups.items():
             if host_paste:
                 run = self._nopaste_batch_variant(chw)
@@ -466,17 +487,20 @@ class MNCPipeline:
                 sel = chunk + [chunk[-1]] * (batch_size - len(chunk))
                 images = jnp.asarray(np.stack([preps[j][1] for j in sel]))
                 infos = jnp.asarray(np.stack([preps[j][2] for j in sel]))
-                dets = jax.device_get(run(self.params, images, infos))
-                for k, j in enumerate(chunk):
-                    d = {key: v[k] for key, v in dets.items()}
-                    if packed:
-                        d = unpack_canvas_masks(d, chw[1])
-                    out = self._finalize_host(d, preps[j][3], preps[j][2])
-                    if host_paste:
-                        out["full_masks"] = unmold_masks_host(
-                            out["masks"], out["boxes"], out["valid"],
-                            preps[j][3], self.post.binarize_thresh)
-                    results[j] = out
+                pending.append((chunk, chw, run(self.params, images, infos)))
+        # Phase 2 — fetch and unpack on the host
+        for chunk, chw, dev_out in pending:
+            dets = jax.device_get(dev_out)
+            for k, j in enumerate(chunk):
+                d = {key: v[k] for key, v in dets.items()}
+                if packed:
+                    d = unpack_canvas_masks(d, chw[1])
+                out = self._finalize_host(d, preps[j][3], preps[j][2])
+                if host_paste:
+                    out["full_masks"] = unmold_masks_host(
+                        out["masks"], out["boxes"], out["valid"],
+                        preps[j][3], self.post.binarize_thresh)
+                results[j] = out
         return results
 
 

@@ -37,10 +37,18 @@ def prep_im_for_blob(
     target_size: int | None = None,
     max_size: int | None = None,
     canvas_hw=None,
+    u8: bool = False,
 ):
     """BGR uint8/float image → (canvas_h, canvas_w, 3) float32 + im_info.
 
     Returns (canvas, im_info) where im_info = (scaled_h, scaled_w, scale).
+
+    ``u8=True`` keeps the canvas uint8 and SKIPS the mean subtraction — the
+    device program subtracts the means after upload (TEST.U8_TRANSFER): 4×
+    less host→device traffic, which dominates over a remote device link.
+    Mean subtraction commutes with the linear resize, so the only deviation
+    from the reference float path is the ≤0.5-LSB uint8 rounding after
+    resize.
     """
     if pixel_means is None:
         pixel_means = cfg.PIXEL_MEANS
@@ -51,8 +59,11 @@ def prep_im_for_blob(
     if canvas_hw is None:
         canvas_hw = tuple(cfg.STATIC.CANVAS)
 
-    im = im.astype(np.float32, copy=True)
-    im -= pixel_means.astype(np.float32)
+    if u8:
+        im = np.ascontiguousarray(im, dtype=np.uint8)
+    else:
+        im = im.astype(np.float32, copy=True)
+        im -= pixel_means.astype(np.float32)
     scale = im_scale_for(im.shape[:2], target_size, max_size, canvas_hw)
     if cv2 is not None:
         scaled = cv2.resize(im, None, fx=scale, fy=scale, interpolation=cv2.INTER_LINEAR)
@@ -64,7 +75,13 @@ def prep_im_for_blob(
         scaled = im[np.ix_(ys, xs)]
     ch, cw = canvas_hw
     sh, sw = min(scaled.shape[0], ch), min(scaled.shape[1], cw)
-    canvas = np.zeros((ch, cw, 3), np.float32)
+    if u8:
+        # pad with the (rounded) pixel means so the device-side mean
+        # subtraction zeroes the padding, matching the float path's zeros
+        canvas = np.empty((ch, cw, 3), np.uint8)
+        canvas[:] = np.round(np.asarray(pixel_means)).astype(np.uint8).reshape(1, 1, 3)
+    else:
+        canvas = np.zeros((ch, cw, 3), np.float32)
     canvas[:sh, :sw] = scaled[:sh, :sw]
     im_info = np.array([sh, sw, scale], np.float32)
     return canvas, im_info

@@ -54,6 +54,13 @@ def main():
                          "leaves ~10 resident executables and the batched "
                          "compile on top can crash the TPU worker)")
     ap.add_argument("--append", default=None)
+    ap.add_argument("--shapes", action="store_true",
+                    help="synthetic shape SCENES instead of noise — with a "
+                         "trained --params checkpoint this produces a "
+                         "realistic per-image detection load (noise into a "
+                         "trained model yields ~0 valid dets → the host "
+                         "unmold cost is understated; noise into random "
+                         "weights yields ~all-valid dets → overstated)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny arch on CPU (plumbing check)")
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None,
@@ -105,14 +112,31 @@ def main():
 
     rs = np.random.RandomState(0)
     stream = []
-    for i in range(args.images):
-        h, w = sizes[i % len(sizes)]
-        stream.append((rs.rand(h, w, 3) * 255).astype(np.uint8))
+    if args.shapes:
+        from mnc_tpu.data.synthetic import SyntheticShapes
+
+        means = np.asarray(cfg.PIXEL_MEANS, np.float32).reshape(1, 1, 3)
+        for i in range(args.images):
+            h, w = sizes[i % len(sizes)]
+            gen = SyntheticShapes(canvas_hw=(h, w), num_classes=arch.num_classes,
+                                  n_range=(2, 5), seed=1000 + i, num_images=1)
+            # generator images are mean-subtracted floats; add the means back
+            # so the detect() host prep round-trips to the training stats
+            stream.append(np.clip(gen.example(0)["image"] + means, 0, 255)
+                          .astype(np.uint8))
+    else:
+        for i in range(args.images):
+            h, w = sizes[i % len(sizes)]
+            stream.append((rs.rand(h, w, 3) * 255).astype(np.uint8))
+
+    n_det = []
 
     def run_pass(packed):
+        n_det.clear()
         t0 = time.perf_counter()
         for im in stream:
-            pipe.detect(im, packed=packed)
+            d = pipe.detect(im, packed=packed)
+            n_det.append(int((d["valid"] & (d["scores"] >= 0.5)).sum()))
         return time.perf_counter() - t0
 
     recs = []
@@ -133,6 +157,7 @@ def main():
             "n_canvas_variants": n_variants,
             "first_pass_s": round(compile_pass_s, 1),
             "buckets": "none" if args.no_buckets else args.buckets,
+            "mean_dets_ge50": round(float(np.mean(n_det)), 1) if n_det else 0.0,
         }
         print(json.dumps(rec), flush=True)
         recs = [rec]
@@ -153,9 +178,13 @@ def main():
         recs.append(rec2)
     if args.batch:
         def run_batched():
+            n_det.clear()
             t0 = time.perf_counter()
-            pipe.detect_many(stream, batch_size=args.batch, packed=True)
-            return time.perf_counter() - t0
+            outs = pipe.detect_many(stream, batch_size=args.batch, packed=True)
+            dt = time.perf_counter() - t0
+            n_det.extend(int((d["valid"] & (d["scores"] >= 0.5)).sum())
+                         for d in outs)
+            return dt
 
         t0 = time.perf_counter()
         run_batched()  # compile the per-(canvas, batch) programs
@@ -165,6 +194,7 @@ def main():
                     value=round(args.images / t_batched, 2),
                     vs_baseline=round(args.images / t_batched / 2.8, 2),
                     batch=args.batch,
+                    mean_dets_ge50=round(float(np.mean(n_det)), 1),
                     first_pass_s=round(batch_compile_s, 1))
         print(json.dumps(rec3), flush=True)
         recs.append(rec3)
