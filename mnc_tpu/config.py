@@ -135,6 +135,11 @@ __C.TRAIN.FG_THRESH = 0.5
 __C.TRAIN.BG_THRESH_HI = 0.5
 __C.TRAIN.BG_THRESH_LO = 0.0
 __C.TRAIN.USE_FLIPPED = True
+# Real-image loader uploads uint8 canvases; the train step mean-subtracts on
+# device (utils.blob.device_normalize) — 4x less host->device traffic per
+# step (60 MB f32 at batch 8 full scale), same <=0.5-LSB-after-resize
+# deviation as TEST.U8_TRANSFER.  Synthetic imdbs (float scenes) unaffected.
+__C.TRAIN.U8_TRANSFER = True
 __C.TRAIN.BBOX_REG = True
 __C.TRAIN.BBOX_THRESH = 0.5
 __C.TRAIN.BBOX_NORMALIZE_TARGETS = True

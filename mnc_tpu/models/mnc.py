@@ -33,6 +33,7 @@ from mnc_tpu.ops.roi_warp import roi_warp
 from mnc_tpu.models.heads import ClassifyHead, MaskHead, RPNHead
 from mnc_tpu.models.vgg import VGG16Trunk
 from mnc_tpu.models.resnet import ResNetTrunk
+from mnc_tpu.utils.blob import device_normalize
 
 
 def _cap(ref_val: int, static_val: int, ref_key: str, static_key: str) -> int:
@@ -392,6 +393,10 @@ class MNC(nn.Module):
     # ---- stage pieces (also used by the training loop) ----
 
     def features(self, image: jnp.ndarray) -> jnp.ndarray:
+        # uint8 canvases (TRAIN/TEST.U8_TRANSFER host upload modes) are
+        # mean-subtracted here on device; float input passes through
+        # untouched, so the normalization is idempotent across entry points
+        image = device_normalize(image)
         with jax.named_scope("trunk"):
             return self.trunk(image)
 

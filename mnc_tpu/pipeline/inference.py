@@ -24,20 +24,6 @@ from mnc_tpu.ops.nms import nms_indices
 from mnc_tpu.utils.blob import prep_im_for_blob
 
 
-def _device_normalize(images: jnp.ndarray) -> jnp.ndarray:
-    """uint8 canvases → mean-subtracted float32 ON DEVICE (no-op for float).
-
-    The host APIs upload uint8 canvases when TEST.U8_TRANSFER is on — 4× less
-    host→device traffic (the dominant cost over a remote/tunneled device link;
-    measured ~50 MB/s vs ~75 ms of batch-8 compute).  jit specializes on input
-    dtype, so the float-canvas entry points (``detect_canvas*``) share the
-    same program builders unchanged."""
-    if images.dtype == jnp.uint8:
-        means = jnp.asarray(np.asarray(cfg.PIXEL_MEANS).reshape(-1), jnp.float32)
-        return images.astype(jnp.float32) - means
-    return images
-
-
 @dataclasses.dataclass(frozen=True)
 class PostCfg:
     """Static post-processing configuration (reference TEST.* semantics)."""
@@ -199,7 +185,7 @@ class MNCPipeline:
         post = post or self.post
 
         net = jax.jit(lambda p, im, ii: model.apply(
-            p, _device_normalize(im), ii, method=MNC.apply_batch))
+            p, im, ii, method=MNC.apply_batch))
 
         @jax.jit
         def _post(net_out):
@@ -227,7 +213,7 @@ class MNCPipeline:
 
         @jax.jit
         def _run(params, image, im_info):
-            net_out = model.apply(params, _device_normalize(image), im_info)
+            net_out = model.apply(params, image, im_info)
             r, v, c, m = self._candidates(model, net_out)
             return postprocess_detections(r, v, c, m, post,
                                           model.arch.canvas)
@@ -397,8 +383,10 @@ class MNCPipeline:
         if host_paste is None:
             host_paste = bool(cfg.TEST.HOST_PASTE)
         if packed is None:
-            packed = (bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
-                      and not host_paste)
+            packed = bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+        # host_paste wins over even an explicit packed=True: the nopaste
+        # program emits no canvas masks, so there is nothing to bit-pack
+        packed = packed and not host_paste
         h0, w0 = bgr_image.shape[:2]
         canvas_hw = self._pick_canvas(h0, w0, auto_orient)
         if host_paste:
@@ -460,8 +448,8 @@ class MNCPipeline:
         if host_paste is None:
             host_paste = bool(cfg.TEST.HOST_PASTE)
         if packed is None:
-            packed = (bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
-                      and not host_paste)
+            packed = bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+        packed = packed and not host_paste  # see detect(): host_paste wins
         preps, groups = [], {}
         u8 = bool(cfg.TEST.U8_TRANSFER)
         for i, im in enumerate(bgr_images):

@@ -89,6 +89,8 @@ def mnc_loss(params, model: MNC, batch: dict, key: jax.Array, arch: MNCArch,
     im_info = batch["im_info"]
     im_hw = (im_info[0], im_info[1])
 
+    # uint8 canvases from the loader's TRAIN.U8_TRANSFER mode are
+    # mean-subtracted on device inside MNC.features
     feat = model.apply(params, batch["image"], method=MNC.features)
     rpn_cls, rpn_bbox = model.apply(params, feat, method=MNC.rpn)
 

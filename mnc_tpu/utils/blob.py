@@ -92,6 +92,25 @@ def im_list_to_blob(ims) -> np.ndarray:
     return np.stack(ims).astype(np.float32)
 
 
+def device_normalize(images):
+    """uint8 canvases → mean-subtracted float32 ON DEVICE (no-op for float).
+
+    The other half of ``prep_im_for_blob(u8=True)``: host APIs and the train
+    loader upload uint8 canvases (4× less host→device traffic — the dominant
+    cost over a remote/tunneled device link) and the jitted program subtracts
+    the pixel means after upload.  jit specializes on input dtype, so float
+    callers trace through the identity branch unchanged.  cfg.PIXEL_MEANS is
+    baked at trace time (as with every cfg-derived constant in a compiled
+    variant)."""
+    import jax.numpy as jnp
+
+    if images.dtype == jnp.uint8:
+        means = jnp.asarray(
+            np.asarray(cfg.PIXEL_MEANS, np.float32).reshape(-1), jnp.float32)
+        return images.astype(jnp.float32) - means
+    return images
+
+
 def resize_mask_area(mask, out_hw):
     """Host-side mask downsample: cv2 INTER_AREA when available (higher
     fidelity — tools/mask_fidelity_study.py), numpy nearest otherwise (cv2 is

@@ -177,3 +177,25 @@ def test_trainable_anchor_mask_suppresses_untrained_types():
         match = np.all(np.abs(av - r) < 1e-3, axis=1)
         assert match.any()
         assert mask[match].all()
+
+
+def test_features_normalizes_u8_on_device(model_and_params):
+    """MNC.features mean-subtracts uint8 input on device (the U8_TRANSFER
+    upload modes) and is a no-op for float input: with integer PIXEL_MEANS,
+    features(u8) is BIT-identical to features(u8 - means) — every entry
+    point (train loss, detect variants, apply_batch) is u8-capable."""
+    from mnc_tpu.config import cfg
+
+    model, params = model_and_params
+    rs = np.random.RandomState(7)
+    u8 = rs.randint(0, 255, size=(*TINY.canvas, 3)).astype(np.uint8)
+    saved = cfg.PIXEL_MEANS
+    try:
+        cfg.PIXEL_MEANS = np.array([[[103.0, 116.0, 123.0]]])
+        means = np.asarray(cfg.PIXEL_MEANS, np.float32).reshape(1, 1, 3)
+        f_u8 = model.apply(params, jnp.asarray(u8), method=MNC.features)
+        f_f32 = model.apply(params, jnp.asarray(u8.astype(np.float32) - means),
+                            method=MNC.features)
+    finally:
+        cfg.PIXEL_MEANS = saved
+    np.testing.assert_array_equal(np.asarray(f_u8), np.asarray(f_f32))

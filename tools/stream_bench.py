@@ -130,6 +130,10 @@ def main():
             stream.append((rs.rand(h, w, 3) * 255).astype(np.uint8))
 
     n_det = []
+    # transfer-mode tags so appended jsonl records are self-describing
+    mode_tags = {"u8": bool(cfg.TEST.U8_TRANSFER),
+                 "host_paste": bool(cfg.TEST.HOST_PASTE),
+                 "load": "shapes" if args.shapes else "noise"}
 
     def run_pass(packed):
         n_det.clear()
@@ -158,6 +162,7 @@ def main():
             "first_pass_s": round(compile_pass_s, 1),
             "buckets": "none" if args.no_buckets else args.buckets,
             "mean_dets_ge50": round(float(np.mean(n_det)), 1) if n_det else 0.0,
+            **mode_tags,
         }
         print(json.dumps(rec), flush=True)
         recs = [rec]
@@ -166,6 +171,7 @@ def main():
             "unit": "img/s",
             "n_images": args.images,
             "buckets": "none" if args.no_buckets else args.buckets,
+            **mode_tags,
         }
     if args.unpacked_too and not args.batched_only:
         run_pass(packed=False)  # compile packless postfetch variants
