@@ -240,3 +240,27 @@ def test_hybrid_dp_tp_matches_single_device(setup):
     # updated params keep the TP layout (no silent re-replication)
     out_fc = h1.params["params"]["classify_head"]
     assert out_fc["fc6"]["kernel"].sharding.spec == P(None, "model")
+
+
+def test_test_net_dp_cli_smoke(tmp_path):
+    """tools/test_net.py --dp shards --eval-batch over the (8-device CPU)
+    mesh end-to-end: the CLI prints the shard banner and the reference-style
+    AP table (random weights — the claim is plumbing, not mAP)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "test_net.py"),
+         "--cpu", "--dp", "--eval-batch", "8", "--imdb", "synthetic_16",
+         "--set", "NET.FC_DIM", "96", "NET.MASK_FC_DIM", "32",
+         "NET.N_STAGES", "3",
+         "TEST.RPN_PRE_NMS_TOP_N", "96", "STATIC.TEST_PRE_NMS_TOP_N", "96",
+         "TEST.RPN_POST_NMS_TOP_N", "16", "STATIC.TEST_POST_NMS_TOP_N", "16"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "sharded over 8 devices" in out.stdout, out.stdout
+    assert "mAP^r@0.5" in out.stdout, out.stdout

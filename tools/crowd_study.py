@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--only", default=None,
                     help="single 'dets,votek' config per process")
     ap.add_argument("--pre-nms", type=int, default=1024)
+    ap.add_argument("--anchor-scales", type=int, nargs="*", default=None,
+                    help="must match the --params checkpoint's anchors "
+                         "(default (8,16,32))")
     ap.add_argument("--append", default=None)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny arch + random params on CPU (plumbing check)")
@@ -59,7 +62,9 @@ def main():
         args.eval_images = min(args.eval_images, 4)
     else:
         arch = MNCArch(
-            canvas=(640, 1024), anchor_scales=(8, 16, 32), num_classes=6,
+            canvas=(640, 1024),
+            anchor_scales=tuple(args.anchor_scales or (8, 16, 32)),
+            num_classes=6,
             mask_size=21, warp_hw=14, n_stages=5, fc_dim=4096, mask_fc_dim=256,
             pre_nms_top_n=args.pre_nms, post_nms_top_n=304, rpn_min_size=16.0,
             trunk_frozen=0,

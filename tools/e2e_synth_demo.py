@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--full-scale", action="store_true",
                     help="reference-scale arch: 640x1024 canvas, full VGG-16 "
                          "heads, MASK_SIZE 21, warp 14, anchors (8,16,32)x16")
+    ap.add_argument("--anchor-scales", type=int, nargs="*", default=None,
+                    help="override NET.ANCHOR_SCALES (--full-scale only; "
+                         "reference (8,16,32) = 128-512 px boxes at stride "
+                         "16 — crowded scenes need smaller, e.g. 4 8 16; "
+                         "same count keeps --init-params RPN head shapes)")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +87,9 @@ def main():
     if args.full_scale:
         # the reference-scale configuration (SURVEY §2.1 defaults), bf16 trunk
         arch = MNCArch(
-            canvas=(640, 1024), anchor_scales=(8, 16, 32), num_classes=6,
+            canvas=(640, 1024),
+            anchor_scales=tuple(args.anchor_scales or (8, 16, 32)),
+            num_classes=6,
             mask_size=args.mask_size, warp_hw=14, n_stages=5, fc_dim=4096,
             mask_fc_dim=256,
             pre_nms_top_n=args.pre_nms, post_nms_top_n=args.post_nms,

@@ -37,6 +37,10 @@ def parse_args():
     ap.add_argument("--eval-batch", type=int, default=1,
                     help="detect images in device batches of N "
                          "(synthetic imdbs; amortizes per-image dispatch)")
+    ap.add_argument("--dp", action="store_true",
+                    help="shard --eval-batch across ALL local devices "
+                         "(data-parallel eval via shard_map; --eval-batch "
+                         "must be a multiple of the device count)")
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
@@ -107,6 +111,27 @@ def main():
     post = PostCfg.from_cfg(score_thresh=args.conf)
     pipe = MNCPipeline(model, params, post)
 
+    dp_run = dp_params = dp_shard = None
+    if args.dp:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from mnc_tpu.parallel import (data_parallel_eval_step, make_mesh,
+                                      replicate)
+
+        mesh = make_mesh()
+        ndev = mesh.devices.size
+        if args.eval_batch % ndev:
+            raise SystemExit(f"--dp: --eval-batch {args.eval_batch} must be a "
+                             f"multiple of the {ndev} local devices")
+        # per-image packed runner sharded over the mesh's data axis
+        dp_run = data_parallel_eval_step(
+            pipe._packed_variant(tuple(arch.canvas)), mesh)
+        dp_params = replicate(params, mesh)
+        dp_shard = NamedSharding(mesh, P("data"))
+        print(f"--dp: eval batches of {args.eval_batch} sharded over "
+              f"{ndev} devices")
+
     if args.segdb:
         from mnc_tpu.models.cfm import cfm_detect
 
@@ -156,7 +181,12 @@ def main():
         canvases = jnp.asarray(np.stack([e[1] for e in entries]))
         infos = jnp.asarray(np.stack([e[2] for e in entries]))
         timer.tic()
-        outs = jax.device_get(pipe.detect_canvas_batch_packed(canvases, infos))
+        if dp_run is not None:
+            outs = jax.device_get(dp_run(
+                dp_params, jax.device_put(canvases, dp_shard),
+                jax.device_put(infos, dp_shard)))
+        else:
+            outs = jax.device_get(pipe.detect_canvas_batch_packed(canvases, infos))
         timer.toc()
         for k, (i, _, _, _) in enumerate(pending):
             out = {key: v[k] for key, v in outs.items()}
