@@ -25,6 +25,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="output/e2e_fullscale_r2b/e2e_params.npz")
     ap.add_argument("--eval-images", type=int, default=64)
+    ap.add_argument("--instances", type=int, nargs=2, default=None,
+                    metavar=("MIN", "MAX"),
+                    help="instances per val image (default: generator "
+                         "default ≤6; use with --seed 202 to reproduce the "
+                         "crowd_study val set)")
+    ap.add_argument("--seed", type=int, default=99, help="val generator seed")
+    ap.add_argument("--post-nms", type=int, nargs="*", default=None,
+                    help="additional sweep: post-NMS proposal budgets at the "
+                         "LAST --pre-nms value (reference test-time is 300; "
+                         "crowded scenes may be proposal-starved at 304 — "
+                         "also lifts max_per_image to 304 for these runs)")
     ap.add_argument("--pre-nms", type=int, nargs="*",
                     default=(512, 1024, 2048, 6000))
     ap.add_argument("--dets-per-class", type=int, nargs="*", default=(16, 100))
@@ -54,9 +65,12 @@ def main():
     # device_put ONCE — numpy params would re-upload ~0.5 GB per jitted call
     # over the tunnel (the mistake that made the first run look wedged)
     params = jax.device_put(load_npz(args.params))
+    gen_kw = dict(max_gt=6)
+    if args.instances:
+        gen_kw = dict(max_gt=args.instances[1], n_range=tuple(args.instances))
     val = SyntheticIMDB(canvas_hw=base.canvas, num_classes=base.num_classes,
-                        max_gt=6, gt_mask_size=28,
-                        num_images=args.eval_images, seed=99)
+                        gt_mask_size=28,
+                        num_images=args.eval_images, seed=args.seed, **gen_kw)
     val_ex = [val.example(i) for i in val.image_index]
     gt = val.gt_instances()
 
@@ -119,6 +133,14 @@ def main():
         post = PostCfg(dets_per_class=16, max_per_image=100, vote_top_k=64,
                        score_thresh=0.01)
         evaluate(arch, post, f"pre_nms={p},dets_per_class=16")
+
+    for pn in (args.post_nms or ()):
+        arch = dataclasses.replace(base, pre_nms_top_n=args.pre_nms[-1],
+                                   post_nms_top_n=pn)
+        post = PostCfg(dets_per_class=16, max_per_image=304, vote_top_k=64,
+                       score_thresh=0.01)
+        evaluate(arch, post,
+                 f"pre_nms={args.pre_nms[-1]},post_nms={pn},dets_per_class=16")
 
     for d in args.dets_per_class:
         if d == 16:
