@@ -34,6 +34,12 @@ def main():
                     help="run a single variant (one config per process keeps "
                          "tunnel sessions short)")
     ap.add_argument("--pre-nms", type=int, default=1024)
+    ap.add_argument("--mask-size", type=int, default=21,
+                    help="must match the trained checkpoint's MASK_SIZE "
+                         "(28 for the best-recipe flagship)")
+    ap.add_argument("--coco-ap", action="store_true",
+                    help="also report COCO-style averaged AP^r@[.5:.95] "
+                         "per variant (eval_sds_averaged)")
     ap.add_argument("--append", default=None)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny arch + random params on CPU (plumbing check)")
@@ -45,7 +51,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from mnc_tpu.data.eval_sds import collect_detections, eval_sds
+    from mnc_tpu.data.eval_sds import (collect_detections, eval_sds,
+                                       eval_sds_averaged)
     from mnc_tpu.data.synth_imdb import SyntheticIMDB
     from mnc_tpu.models.mnc import MNC, MNCArch
     from mnc_tpu.pipeline.inference import (
@@ -63,9 +70,9 @@ def main():
     else:
         base = MNCArch(
             canvas=(640, 1024), anchor_scales=(8, 16, 32), num_classes=6,
-            mask_size=21, warp_hw=14, n_stages=5, fc_dim=4096, mask_fc_dim=256,
-            pre_nms_top_n=args.pre_nms, post_nms_top_n=304, rpn_min_size=16.0,
-            trunk_frozen=0,
+            mask_size=args.mask_size, warp_hw=14, n_stages=5, fc_dim=4096,
+            mask_fc_dim=256, pre_nms_top_n=args.pre_nms, post_nms_top_n=304,
+            rpn_min_size=16.0, trunk_frozen=0,
         )
     if args.smoke:
         m0 = MNC(arch=base)
@@ -119,8 +126,12 @@ def main():
             "map_r_070": round(eval_sds(dets, gt, val.num_classes, 0.7)["map"], 4),
             "ms_per_img": round(t_det / len(val_ex) * 1e3, 1),
             "pre_nms": args.pre_nms,
+            "mask_size": args.mask_size,
             "n_images": len(val_ex),
         }
+        if args.coco_ap:
+            avg = eval_sds_averaged(dets, gt, val.num_classes)
+            rec["map_r_avg"] = round(avg["map"], 4)
         print(json.dumps(rec), flush=True)
         if args.append:
             with open(args.append, "a") as f:
@@ -129,8 +140,10 @@ def main():
 
     print("\nsummary:")
     for r in results:
+        avg = (f"  avg[.5:.95]={r['map_r_avg']:.3f}" if "map_r_avg" in r
+               else "")
         print(f"  {r['config']:<18} mAP^r .5/.7 = {r['map_r_050']:.3f}/"
-              f"{r['map_r_070']:.3f}  {r['ms_per_img']:.0f} ms/img")
+              f"{r['map_r_070']:.3f}{avg}  {r['ms_per_img']:.0f} ms/img")
 
 
 if __name__ == "__main__":
