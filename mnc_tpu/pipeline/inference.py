@@ -173,14 +173,10 @@ class MNCPipeline:
 
         Split at the cascade→postprocess boundary (one extra dispatch; the
         small (B, N, ·) cascade outputs round-trip through HBM) so a device
-        fault can be attributed to one half.  Known issue: on the TPU
-        worker, batched runs at non-primary canvas variants (608×816 and/or
-        its transpose; 640×1024 is fine) crash the worker ("TPU worker
-        process crashed") — reproduced three times, including once with
-        this split, so the fault is inside one of the halves, not their
-        fusion.  The batched cascade alone ran clean at 608×816 under a
-        6-class arch; bisection at the default 21-class arch is pending
-        TPU recovery (see STATUS round-3 queue).
+        fault can be attributed to one half.  (The round-3 TPU worker crash
+        at non-primary canvas variants was bisected to the vmapped
+        propose_rois gather composition and fixed structurally — apply_batch
+        runs the propose stage through lax.map; see MNC.apply_batch.)
         """
         post = post or self.post
 
@@ -490,6 +486,57 @@ class MNCPipeline:
                         preps[j][3], self.post.binarize_thresh)
                 results[j] = out
         return results
+
+    def prewarm(self, batch_size: int | None = None,
+                auto_orient: bool | None = None,
+                packed: bool | None = None,
+                host_paste: bool | None = None) -> list[tuple[int, int]]:
+        """Compile every canvas variant :meth:`detect` / :meth:`detect_many`
+        can pick — the primary canvas, its transpose (TEST.AUTO_PORTRAIT),
+        and each TEST.CANVAS_BUCKETS entry ± transpose — by running one dummy
+        image through the exact program variant the host API would dispatch.
+
+        Tiled NMS at the reference 6000 working set compiles in minutes per
+        variant; with the persistent compilation cache this moves those
+        compiles out of the serving path, both for this process (first
+        request) and across restarts (cache hits).  ``batch_size``
+        additionally warms the batched (:meth:`detect_many`) program per
+        variant.  Returns the canvas shapes warmed, in dispatch-preference
+        order.
+        """
+        if auto_orient is None:
+            auto_orient = bool(cfg.TEST.AUTO_PORTRAIT)
+        if host_paste is None:
+            host_paste = bool(cfg.TEST.HOST_PASTE)
+        if packed is None:
+            packed = bool(cfg.TEST.PACKED_TRANSFER) and self.post.paste
+        packed = packed and not host_paste  # see detect()
+        cands = [tuple(self.arch.canvas)]
+        cands += [tuple(b) for b in (cfg.TEST.CANVAS_BUCKETS or ())]
+        if auto_orient:
+            cands += [(w, h) for h, w in cands]
+        canvases = list(dict.fromkeys(cands))
+        u8 = bool(cfg.TEST.U8_TRANSFER)
+        for chw in canvases:
+            dummy = np.zeros((*chw, 3), np.uint8)
+            canvas, info = prep_im_for_blob(dummy, canvas_hw=chw, u8=u8)
+            if host_paste:
+                run = self._nopaste_variant(chw)
+            else:
+                run = (self._packed_variant(chw) if packed
+                       else self._variant(chw)[1])
+            out = run(self.params, jnp.asarray(canvas), jnp.asarray(info))
+            jax.device_get(out["valid"])  # force execution; tiny fetch
+            if batch_size:
+                if host_paste:
+                    runb = self._nopaste_batch_variant(chw)
+                else:
+                    runb = (self._batch_packed_variant(chw) if packed
+                            else self._batch_variant(chw))
+                images = jnp.asarray(np.stack([canvas] * batch_size))
+                infos = jnp.asarray(np.stack([info] * batch_size))
+                jax.device_get(runb(self.params, images, infos)["valid"])
+        return canvases
 
 
 def unmold_masks_host(masks: np.ndarray, boxes: np.ndarray,

@@ -8,6 +8,13 @@ semantics) so the exported model emits raw deltas, and writes a flat npz
 
     python tools/export_model.py --ckpt output/run1 --out model.npz \
         [--no-unnormalize]
+
+``--stablehlo out.jaxexport`` additionally serializes the FULL canvas-space
+inference program (weights baked in, lowered for cpu+tpu) via ``jax.export``
+— loadable and callable from any JAX process without mnc_tpu's model code,
+the TPU-native analogue of shipping the prototxt+caffemodel pair
+(see mnc_tpu/pipeline/export.py).  ``--stablehlo-batch B`` exports the
+batched (detect_many/serving) program instead of the single-image one.
 """
 
 import _init_paths  # noqa: F401
@@ -21,6 +28,12 @@ def main():
     ap.add_argument("--out", default=None,
                     help="output .npz (default from TRAIN.SNAPSHOT_PREFIX)")
     ap.add_argument("--no-unnormalize", action="store_true")
+    ap.add_argument("--stablehlo", default=None, metavar="PATH",
+                    help="also serialize the full inference program "
+                         "(weights baked in) via jax.export")
+    ap.add_argument("--stablehlo-batch", type=int, default=None, metavar="B",
+                    help="export the batched (B-image) program instead of "
+                         "the single-image one")
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     ap.add_argument("--cpu", action="store_true")
@@ -75,6 +88,21 @@ def main():
     save_npz(out_path, out,
              meta={"bbox_pred_normalized": bool(args.no_unnormalize)})
     print(f"exported {path} → {out_path}")
+
+    if args.stablehlo:
+        from mnc_tpu.pipeline.export import export_inference, save_exported
+
+        # the artifact bakes the CHECKPOINT-convention params (normalized
+        # deltas) with the matching default arch — the same pairing serve.py
+        # --ckpt uses; the un-normalization question never leaves the npz
+        # world because the stage bridge is INSIDE the exported program
+        blob = export_inference(model, state.params,
+                                batch=args.stablehlo_batch)
+        save_exported(args.stablehlo, blob)
+        shape = (f"batch={args.stablehlo_batch}" if args.stablehlo_batch
+                 else "single-image")
+        print(f"exported {shape} inference program → {args.stablehlo} "
+              f"({len(blob) / 1e6:.1f} MB, platforms cpu+tpu)")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,11 @@ def parse_args():
                          "run with --set NET.SUPPRESS_UNTRAINABLE_ANCHORS "
                          "False for foreign weights)")
     ap.add_argument("--npz", default=None)
+    ap.add_argument("--exported", default=None, metavar="PATH",
+                    help="serve a jax.export artifact (export_model.py "
+                         "--stablehlo) — weights + program in one file, no "
+                         "checkpoint/model build; excludes --http-batch and "
+                         "canvas buckets (one fixed canvas per artifact)")
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
@@ -41,6 +46,12 @@ def parse_args():
                          "per device call (detect_many; 0 = one at a time)")
     ap.add_argument("--http-wait-ms", type=float, default=10.0,
                     help="max coalescing wait for --http-batch")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile every canvas variant (primary/transpose/"
+                         "TEST.CANVAS_BUCKETS, + the batched program under "
+                         "--http-batch) BEFORE accepting work; with the "
+                         "persistent compile cache this also makes restarts "
+                         "instant")
     return ap.parse_args()
 
 
@@ -63,32 +74,55 @@ def main():
     from mnc_tpu.models.mnc import MNC, MNCArch
     from mnc_tpu.pipeline.inference import MNCPipeline, PostCfg
 
-    arch = MNCArch.from_cfg(train=False, n_stages=args.stages)
-    model = MNC(arch=arch)
-    img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
-    info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
-    if args.caffemodel or args.npz:
-        from mnc_tpu.utils.checkpoint import load_import_weights
+    if args.exported:
+        if args.http_batch:
+            raise SystemExit("--exported serves the single-image artifact; "
+                             "--http-batch needs the full pipeline")
+        from mnc_tpu.pipeline.export import ExportedPipeline
 
-        params, arch2 = load_import_weights(args.caffemodel, args.npz, arch,
-                                            params, remap=args.remap)
-        if arch2 is not arch:
-            arch, model = arch2, MNC(arch=arch2)
-    elif args.ckpt:
-        from mnc_tpu.train.loop import TrainState
-        from mnc_tpu.train.optim import make_optimizer
-        from mnc_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+        pipe = ExportedPipeline(args.exported)
+        print(f"loaded exported program ({pipe.canvas} canvas) "
+              f"from {args.exported}", flush=True)
+    else:
+        pipe = None
 
-        import os.path as osp
+    if pipe is None:
+        arch = MNCArch.from_cfg(train=False, n_stages=args.stages)
+        model = MNC(arch=arch)
+        img0 = jnp.zeros((*arch.canvas, 3), jnp.float32)
+        info0 = jnp.array([arch.canvas[0], arch.canvas[1], 1.0])
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), img0, info0)
+        if args.caffemodel or args.npz:
+            from mnc_tpu.utils.checkpoint import load_import_weights
 
-        path = args.ckpt
-        if osp.isdir(path) and not osp.basename(path).startswith("ckpt_"):
-            path = latest_checkpoint(path)
-        tx = make_optimizer(params)
-        params = restore_checkpoint(path, TrainState.create(params, tx)).params
+            params, arch2 = load_import_weights(args.caffemodel, args.npz,
+                                                arch, params,
+                                                remap=args.remap)
+            if arch2 is not arch:
+                arch, model = arch2, MNC(arch=arch2)
+        elif args.ckpt:
+            from mnc_tpu.train.loop import TrainState
+            from mnc_tpu.train.optim import make_optimizer
+            from mnc_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
 
-    pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=0.0))
+            import os.path as osp
+
+            path = args.ckpt
+            if osp.isdir(path) and not osp.basename(path).startswith("ckpt_"):
+                path = latest_checkpoint(path)
+            tx = make_optimizer(params)
+            params = restore_checkpoint(
+                path, TrainState.create(params, tx)).params
+
+        pipe = MNCPipeline(model, params, PostCfg.from_cfg(score_thresh=0.0))
+
+        if args.prewarm:
+            import time
+
+            t0 = time.perf_counter()
+            warmed = pipe.prewarm(batch_size=args.http_batch or None)
+            print(f"prewarmed {len(warmed)} canvas variants "
+                  f"{warmed} in {time.perf_counter() - t0:.1f}s", flush=True)
 
     def dets_to_json(dets) -> dict:
         instances = []
