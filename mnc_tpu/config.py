@@ -119,6 +119,13 @@ __C.NET.DUAL_PATHWAY = False
 # ResNet trunks: run conv5 per-RoI after warping (the reference COCO head)
 # instead of the fc6/fc7 tower.
 __C.NET.ROI_CONV5 = False
+# ResNet bottleneck stride placement: False = v1 (stride on the first 1x1,
+# the original MSRA/Caffe geometry — reference parity); True = v1.5 (stride
+# on the 3x3) — REQUIRED for torchvision-pretrained resnet50/101/152 weights
+# (they were trained v1.5; a v1 import matches every shape but computes
+# features the weights were never trained for).  train_net auto-enables this
+# when importing a torchvision .pth into a from-scratch model.
+__C.NET.RESNET_STRIDE_IN_3X3 = False
 # Zero proposals from anchor types with no trainable (fully-inside) position
 # on the canvas.  Set False when running imported/foreign weights — the
 # reference ProposalLayer scores all anchors (DESIGN.md §8).

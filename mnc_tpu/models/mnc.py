@@ -74,6 +74,12 @@ class MNCArch:
     # ResNet only: run the conv5 stage per-RoI after warping (the reference
     # COCO-winning head, SURVEY.md §0) instead of the fc6/fc7 tower.
     roi_conv5: bool = False
+    # ResNet stride placement: False = v1 (stride on the 1×1 — the original
+    # MSRA/Caffe geometry, reference parity); True = v1.5 (stride on the 3×3
+    # — REQUIRED for torchvision-pretrained weights).  Mismatched geometry
+    # imports cleanly (shapes agree) but computes features the weights were
+    # never trained for — the importer checks this (utils/weights.py).
+    resnet_stride_in_3x3: bool = False
     # proposal shapes
     pre_nms_top_n: int = 1024
     post_nms_top_n: int = 304
@@ -144,6 +150,7 @@ class MNCArch:
             mask_fc_dim=cfg.NET.MASK_FC_DIM,
             dual_pathway=cfg.NET.DUAL_PATHWAY,
             roi_conv5=bool(cfg.NET.ROI_CONV5),
+            resnet_stride_in_3x3=bool(cfg.NET.RESNET_STRIDE_IN_3X3),
             suppress_untrainable_anchors=bool(
                 cfg.NET.SUPPRESS_UNTRAINABLE_ANCHORS),
             # the effective working set is the REFERENCE knob capped by the
@@ -365,7 +372,8 @@ class MNC(nn.Module):
         elif a.trunk.startswith("resnet"):
             cls_t, kw = ResNetTrunk, dict(depth=int(a.trunk[6:]),
                                           compute_dtype=a.compute_dtype,
-                                          frozen_stages=a.trunk_frozen)
+                                          frozen_stages=a.trunk_frozen,
+                                          stride_in_3x3=a.resnet_stride_in_3x3)
         else:
             raise ValueError(f"unknown trunk {a.trunk!r}")
         if a.remat_trunk:
@@ -381,9 +389,10 @@ class MNC(nn.Module):
 
             assert a.trunk.startswith("resnet"), \
                 "NET.ROI_CONV5 is the ResNet per-RoI conv5 head"
-            self.classify_head = ConvRoIHead(num_classes=a.num_classes,
-                                             depth=int(a.trunk[6:]),
-                                             compute_dtype=a.compute_dtype)
+            self.classify_head = ConvRoIHead(
+                num_classes=a.num_classes, depth=int(a.trunk[6:]),
+                compute_dtype=a.compute_dtype,
+                stride_in_3x3=a.resnet_stride_in_3x3)
         else:
             self.classify_head = ClassifyHead(num_classes=a.num_classes, fc_dim=a.fc_dim,
                                               compute_dtype=a.compute_dtype,

@@ -32,10 +32,21 @@ class FrozenBN(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """Stride placement (``stride_in_3x3``) MUST match the weight source:
+
+    - False (default): stride on the first 1×1 — ResNet **v1**, the original
+      MSRA/Caffe release geometry the reference's COCO entry used.
+    - True: stride on the 3×3 — ResNet **v1.5**, what torchvision's shipped
+      resnet50/101/152 checkpoints were trained with.  Importing torchvision
+      weights into v1 geometry silently computes features the weights were
+      never trained for (shapes all match — only the downsample point moves).
+    """
+
     features: int
     stride: int = 1
     project: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    stride_in_3x3: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -46,10 +57,11 @@ class Bottleneck(nn.Module):
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
+        s1, s2 = (1, self.stride) if self.stride_in_3x3 else (self.stride, 1)
         residual = x
-        y = conv(self.features, 1, self.stride, "conv1")(x)
+        y = conv(self.features, 1, s1, "conv1")(x)
         y = nn.relu(FrozenBN(self.features, self.dtype, name="bn1")(y))
-        y = conv(self.features, 3, 1, "conv2")(y)
+        y = conv(self.features, 3, s2, "conv2")(y)
         y = nn.relu(FrozenBN(self.features, self.dtype, name="bn2")(y))
         y = conv(self.features * 4, 1, 1, "conv3")(y)
         y = FrozenBN(self.features * 4, self.dtype, name="bn3")(y)
@@ -76,6 +88,7 @@ class ConvRoIHead(nn.Module):
     num_classes: int = 21
     depth: int = 101
     compute_dtype: jnp.dtype = jnp.bfloat16
+    stride_in_3x3: bool = False  # v1.5 geometry (torchvision) — see Bottleneck
 
     @nn.compact
     def __call__(self, roi_feat, soft_masks, train: bool = False):
@@ -86,9 +99,10 @@ class ConvRoIHead(nn.Module):
         x = mask_pooling(roi_feat, soft_masks).astype(self.compute_dtype)
         n_blocks = _DEPTHS[self.depth][3]
         # first block strides 2: 14×14 → 7×7 (the standard conv5 geometry)
-        x = Bottleneck(512, 2, True, self.compute_dtype, name="stage5_block0")(x)
+        x = Bottleneck(512, 2, True, self.compute_dtype, self.stride_in_3x3,
+                       name="stage5_block0")(x)
         for b in range(1, n_blocks):
-            x = Bottleneck(512, 1, False, self.compute_dtype,
+            x = Bottleneck(512, 1, False, self.compute_dtype, self.stride_in_3x3,
                            name=f"stage5_block{b}")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, 2048)
         cls = nn.Dense(self.num_classes, dtype=self.compute_dtype,
@@ -106,6 +120,7 @@ class ResNetTrunk(nn.Module):
     depth: int = 101
     compute_dtype: jnp.dtype = jnp.bfloat16
     frozen_stages: int = 1  # stop grads through conv1 (+stem), detection default
+    stride_in_3x3: bool = False  # v1.5 geometry (torchvision) — see Bottleneck
 
     @nn.compact
     def __call__(self, x):
@@ -130,9 +145,10 @@ class ResNetTrunk(nn.Module):
         for stage, (n_blocks, f) in enumerate(zip(blocks, features)):
             stride = 1 if stage == 0 else 2
             x = Bottleneck(f, stride, True, self.compute_dtype,
-                           name=f"stage{stage + 2}_block0")(x)
+                           self.stride_in_3x3, name=f"stage{stage + 2}_block0")(x)
             for b in range(1, n_blocks):
                 x = Bottleneck(f, 1, False, self.compute_dtype,
+                               self.stride_in_3x3,
                                name=f"stage{stage + 2}_block{b}")(x)
             if self.frozen_stages >= stage + 2:
                 x = jax.lax.stop_gradient(x)

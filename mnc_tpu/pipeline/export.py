@@ -21,6 +21,8 @@ artifact, exactly as it stays outside the jitted program in `MNCPipeline`.
 
 from __future__ import annotations
 
+import json
+import struct
 from typing import Any
 
 import jax
@@ -38,6 +40,26 @@ from mnc_tpu.pipeline.inference import (
 # cascade is pure XLA (no Pallas on the default path), so multi-platform
 # lowering costs only artifact bytes
 DEFAULT_PLATFORMS = ("cpu", "tpu")
+
+# Artifact container: magic + u32 meta length + JSON meta + StableHLO blob.
+# The meta carries the HOST-side postprocess knobs the program was exported
+# under (binarize threshold for unmold) so a consumer can't silently
+# diverge from the live pipeline.  Raw (magic-less) blobs from older
+# exports still load — meta falls back to defaults.
+_MAGIC = b"MNCX\x01"
+
+
+def _pack_meta(blob: bytes, meta: dict) -> bytes:
+    m = json.dumps(meta, sort_keys=True).encode()
+    return _MAGIC + struct.pack("<I", len(m)) + m + blob
+
+
+def _unpack_meta(data: bytes) -> tuple[bytes, dict]:
+    if data[: len(_MAGIC)] != _MAGIC:
+        return data, {}
+    (n,) = struct.unpack_from("<I", data, len(_MAGIC))
+    off = len(_MAGIC) + 4
+    return data[off + n:], json.loads(data[off:off + n])
 
 
 def export_inference(
@@ -80,12 +102,15 @@ def export_inference(
                 jax.ShapeDtypeStruct((3,), jnp.float32))
 
     exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
-    return bytes(exported.serialize())
+    return _pack_meta(bytes(exported.serialize()),
+                      {"binarize_thresh": post.binarize_thresh,
+                       "paste": post.paste})
 
 
 def deserialize_inference(blob: bytes):
     """bytes → callable with the exported signature (jit-compiled on call)."""
-    exported = jax_export.deserialize(blob)
+    raw, _ = _unpack_meta(bytes(blob))
+    exported = jax_export.deserialize(raw)
     return jax.jit(exported.call)
 
 
@@ -112,18 +137,26 @@ class ExportedPipeline:
         dets = pipe.detect(bgr_image)   # same dict contract as MNCPipeline
     """
 
-    def __init__(self, path_or_blob):
+    def __init__(self, path_or_blob, binarize_thresh: float | None = None):
         if isinstance(path_or_blob, (bytes, bytearray)):
             blob = bytes(path_or_blob)
         else:
             with open(path_or_blob, "rb") as f:
                 blob = f.read()
-        self._exported = jax_export.deserialize(blob)
+        raw, self.meta = _unpack_meta(blob)
+        self._exported = jax_export.deserialize(raw)
         shape = self._exported.in_avals[0].shape
         assert len(shape) == 3, (
             "ExportedPipeline drives the single-image artifact; got input "
             f"shape {shape} (batched artifacts are called directly)")
         self.canvas: tuple[int, int] = (int(shape[0]), int(shape[1]))
+        # host unmold threshold: explicit arg > artifact meta > PostCfg
+        # default — so the artifact reproduces the live pipeline's masks
+        # even under a non-default cfg.BINARIZE_THRESH at export time
+        if binarize_thresh is None:
+            binarize_thresh = self.meta.get("binarize_thresh",
+                                            PostCfg.binarize_thresh)
+        self.binarize_thresh = float(binarize_thresh)
         self._fn = jax.jit(self._exported.call)
 
     def detect(self, bgr_image) -> dict:
@@ -138,5 +171,5 @@ class ExportedPipeline:
         if "full_masks" not in out:  # artifact exported with paste=False
             out["full_masks"] = unmold_masks_host(
                 out["masks"], out["boxes"], out["valid"],
-                bgr_image.shape[:2])
+                bgr_image.shape[:2], self.binarize_thresh)
         return out

@@ -322,18 +322,10 @@ class MNCPipeline:
                              im_info: jnp.ndarray) -> dict:
         """detect_canvas with the (N, H, W) canvas-mask stack bit-packed on
         device (8x less transfer — the tunneled-TPU eval bottleneck).  Use
-        :func:`unpack_canvas_masks` on the host-fetched dict."""
-        if not hasattr(self, "_run_packed"):
-            @jax.jit
-            def _run_packed(params, image, info):
-                out = self._run(params, image, info)
-                if "canvas_masks" in out:
-                    out = dict(out, canvas_masks=jnp.packbits(
-                        out["canvas_masks"].astype(jnp.uint8), axis=-1))
-                return out
-
-            self._run_packed = _run_packed
-        return self._run_packed(self.params, canvas, im_info)
+        :func:`unpack_canvas_masks` on the host-fetched dict.  Shares the
+        primary-canvas program with :meth:`detect` (one compile, not two)."""
+        run = self._packed_variant(tuple(self.arch.canvas))
+        return run(self.params, canvas, im_info)
 
     def detect_canvas_batch(self, canvases: jnp.ndarray, im_infos: jnp.ndarray) -> dict:
         """Batched throughput path: (B, H, W, 3) + (B, 3) → batched dets."""
@@ -342,11 +334,10 @@ class MNCPipeline:
     def detect_canvas_batch_packed(self, canvases: jnp.ndarray,
                                    im_infos: jnp.ndarray) -> dict:
         """Batched detect with bit-packed canvas masks (see
-        detect_canvas_packed)."""
-        if not hasattr(self, "_run_batch_packed"):
-            self._run_batch_packed = self._make_run_batch(
-                self.model, packed=True)
-        return self._run_batch_packed(self.params, canvases, im_infos)
+        detect_canvas_packed).  Shares the primary-canvas batched program
+        with :meth:`detect_many` (one compile, not two)."""
+        run = self._batch_packed_variant(tuple(self.model.arch.canvas))
+        return run(self.params, canvases, im_infos)
 
     def detect(self, bgr_image: np.ndarray, auto_orient: bool | None = None,
                packed: bool | None = None,
@@ -425,7 +416,8 @@ class MNCPipeline:
     def detect_many(self, bgr_images, batch_size: int = 8,
                     auto_orient: bool | None = None,
                     packed: bool | None = None,
-                    host_paste: bool | None = None) -> list[dict]:
+                    host_paste: bool | None = None,
+                    max_in_flight: int = 4) -> list[dict]:
         """Batched mixed-size host API: list of BGR images → list of
         original-resolution detection dicts (same per-image contract as
         :meth:`detect`).
@@ -437,7 +429,10 @@ class MNCPipeline:
         ``batch_size`` fixed across calls.  This is the throughput path for
         streams and micro-batched serving — single-image :meth:`detect`
         re-streams the ~0.5 GB of fc weights from HBM per image, which
-        dominates at batch 1.
+        dominates at batch 1.  ``max_in_flight`` bounds how many dispatched
+        chunks' output buffers may be device-resident at once (transfer/
+        compute overlap at O(1) memory — arbitrarily long streams don't
+        accumulate HBM).
         """
         if auto_orient is None:
             auto_orient = bool(cfg.TEST.AUTO_PORTRAIT)
@@ -455,11 +450,28 @@ class MNCPipeline:
             preps.append((chw, canvas, info, (h0, w0)))
             groups.setdefault(chw, []).append(i)
         results: list = [None] * len(preps)
-        # Phase 1 — dispatch every chunk without blocking: XLA queues the
-        # uploads + programs asynchronously, so chunk k+1's host→device copy
-        # overlaps chunk k's compute instead of serializing on a per-chunk
-        # device_get round-trip.
-        pending = []
+
+        def _fetch(chunk, chw, dev_out):
+            dets = jax.device_get(dev_out)
+            for k, j in enumerate(chunk):
+                d = {key: v[k] for key, v in dets.items()}
+                if packed:
+                    d = unpack_canvas_masks(d, chw[1])
+                out = self._finalize_host(d, preps[j][3], preps[j][2])
+                if host_paste:
+                    out["full_masks"] = unmold_masks_host(
+                        out["masks"], out["boxes"], out["valid"],
+                        preps[j][3], self.post.binarize_thresh)
+                results[j] = out
+
+        # Dispatch chunks without blocking — XLA queues the uploads +
+        # programs asynchronously, so chunk k+1's host→device copy overlaps
+        # chunk k's compute instead of serializing on a per-chunk device_get
+        # round-trip — but keep at most ``max_in_flight`` chunks' output
+        # buffers resident: fetching the oldest once the window fills bounds
+        # device memory at O(max_in_flight), not O(n_images) (canvas-mask
+        # stacks are ~8-65 MB per image depending on packing).
+        pending: list = []
         for chw, idxs in groups.items():
             if host_paste:
                 run = self._nopaste_batch_variant(chw)
@@ -472,19 +484,10 @@ class MNCPipeline:
                 images = jnp.asarray(np.stack([preps[j][1] for j in sel]))
                 infos = jnp.asarray(np.stack([preps[j][2] for j in sel]))
                 pending.append((chunk, chw, run(self.params, images, infos)))
-        # Phase 2 — fetch and unpack on the host
-        for chunk, chw, dev_out in pending:
-            dets = jax.device_get(dev_out)
-            for k, j in enumerate(chunk):
-                d = {key: v[k] for key, v in dets.items()}
-                if packed:
-                    d = unpack_canvas_masks(d, chw[1])
-                out = self._finalize_host(d, preps[j][3], preps[j][2])
-                if host_paste:
-                    out["full_masks"] = unmold_masks_host(
-                        out["masks"], out["boxes"], out["valid"],
-                        preps[j][3], self.post.binarize_thresh)
-                results[j] = out
+                if len(pending) >= max(1, max_in_flight):
+                    _fetch(*pending.pop(0))
+        for item in pending:
+            _fetch(*item)
         return results
 
     def prewarm(self, batch_size: int | None = None,

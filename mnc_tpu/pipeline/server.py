@@ -75,45 +75,73 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, img: np.ndarray) -> dict:
-        """Blocking: enqueue one image, wait for its batch to run."""
+        """Blocking: enqueue one image, wait for its batch to run.
+
+        Never strands the caller: a dead/closed worker raises instead of
+        hanging (the wait re-checks worker liveness every second)."""
+        if not self._running or not self._thread.is_alive():
+            raise RuntimeError("MicroBatcher is closed")
         done = threading.Event()
         box: dict = {}
         self._q.put((img, done, box))
-        done.wait()
+        while not done.wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("MicroBatcher worker died")
         if "error" in box:
             raise box["error"]
         return box["out"]
 
     def _loop(self):
-        while self._running:
-            try:
-                items = [self._q.get(timeout=0.1)]
-            except queue.Empty:
-                continue
-            deadline = time.monotonic() + self._max_wait_s
-            while len(items) < self._max_batch:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
+        try:
+            while self._running:
                 try:
-                    items.append(self._q.get(timeout=left))
+                    items = [self._q.get(timeout=0.1)]
                 except queue.Empty:
-                    break
-            self.batch_sizes.append(len(items))
-            try:
-                outs = self._batch_fn([im for im, _, _ in items])
-            except Exception as e:  # noqa: BLE001 — propagate per request
-                for _, done, box in items:
-                    box["error"] = e
+                    continue
+                deadline = time.monotonic() + self._max_wait_s
+                while len(items) < self._max_batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    try:
+                        items.append(self._q.get(timeout=left))
+                    except queue.Empty:
+                        break
+                self.batch_sizes.append(len(items))
+                try:
+                    outs = self._batch_fn([im for im, _, _ in items])
+                    if len(outs) != len(items):
+                        raise RuntimeError(
+                            f"batch_fn returned {len(outs)} results for "
+                            f"{len(items)} inputs")
+                except BaseException as e:  # noqa: BLE001 — fail the batch,
+                    for _, done, box in items:  # never strand its waiters
+                        box["error"] = e
+                        done.set()
+                    if not isinstance(e, Exception):
+                        raise  # KeyboardInterrupt/SystemExit: stop the worker
+                    continue
+                for (_, done, box), out in zip(items, outs):
+                    box["out"] = out
                     done.set()
-                continue
-            for (_, done, box), out in zip(items, outs):
-                box["out"] = out
-                done.set()
+        finally:
+            # whatever stopped the worker, don't strand queued submitters
+            self._running = False
+            self._drain(RuntimeError("MicroBatcher worker stopped"))
+
+    def _drain(self, err: BaseException) -> None:
+        while True:
+            try:
+                _, done, box = self._q.get_nowait()
+            except queue.Empty:
+                return
+            box.setdefault("error", err)
+            done.set()
 
     def close(self):
         self._running = False
-        self._thread.join(timeout=1.0)
+        self._thread.join(timeout=2.0)
+        self._drain(RuntimeError("MicroBatcher closed"))
 
 
 def make_http_server(detect_fn: Callable[[np.ndarray], dict] | None = None,

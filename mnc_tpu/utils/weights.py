@@ -159,6 +159,13 @@ def load_resnet_torchvision(params: dict, state_dict=None,
     ``stage2``-``stage4``; ``layer4`` → the per-RoI conv5 head
     (``classify_head/stage5_block*``) when the arch uses ``NET.ROI_CONV5``
     (skipped otherwise — the fc-head arch has no conv5 parameters).
+
+    GEOMETRY: torchvision's shipped resnet50/101/152 are **v1.5** (stride on
+    the 3x3) — the destination model must be built with
+    ``NET.RESNET_STRIDE_IN_3X3`` or every shape matches but the features
+    diverge from the pretrained regime (train_net auto-enables it; see
+    models/resnet.py::Bottleneck).  Stride placement lives in the module,
+    not the weights, so this function cannot detect a mismatch itself.
     """
     import copy
 

@@ -123,6 +123,35 @@ def test_exported_pipeline_matches_live(model_params, monkeypatch, tmp_path):
                                    err_msg=k)
 
 
+def test_exported_meta_carries_binarize_thresh(model_params, tmp_path):
+    """The artifact container serializes the host unmold threshold the
+    program was exported under; ExportedPipeline honors it (and raw
+    magic-less blobs still load with defaults)."""
+    from mnc_tpu.pipeline.export import ExportedPipeline, _unpack_meta
+
+    model, params = model_params
+    post = dataclasses.replace(POST, paste=False, binarize_thresh=0.65)
+    blob = export_inference(model, params, post=post)
+    raw, meta = _unpack_meta(blob)
+    assert meta == {"binarize_thresh": 0.65, "paste": False}
+
+    path = str(tmp_path / "m.jaxexport")
+    save_exported(path, blob)
+    exp = ExportedPipeline(path)
+    assert exp.binarize_thresh == 0.65
+    assert ExportedPipeline(path, binarize_thresh=0.3).binarize_thresh == 0.3
+
+    # legacy raw blob (no container): loads, falls back to the default
+    path2 = str(tmp_path / "raw.jaxexport")
+    save_exported(path2, raw)
+    exp2 = ExportedPipeline(path2)
+    assert exp2.meta == {}
+    assert exp2.binarize_thresh == PostCfg.binarize_thresh
+    # and deserialize_inference accepts both forms
+    deserialize_inference(blob)
+    deserialize_inference(raw)
+
+
 def test_prewarm_covers_buckets(model_params, monkeypatch):
     model, params = model_params
     # buckets must be feat_stride multiples and smaller than the primary

@@ -140,6 +140,49 @@ def test_micro_batcher_error_propagates():
     mb.close()
 
 
+def test_micro_batcher_short_result_errors():
+    """A batch_fn that returns fewer results than inputs must error every
+    waiter, not silently strand the unmatched tail."""
+    from mnc_tpu.pipeline.server import MicroBatcher
+
+    def short(imgs):
+        return [{"ok": 1}] * (len(imgs) - 1) if len(imgs) > 1 else [{"ok": 1}]
+
+    mb = MicroBatcher(short, max_batch=3, max_wait_ms=100)
+    errs, outs = [], []
+
+    def worker():
+        try:
+            outs.append(mb.submit(np.zeros((2, 2, 3), np.uint8)))
+        except RuntimeError as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    # whichever way the queue coalesced, nobody strands: every submit
+    # returned or raised
+    assert len(errs) + len(outs) == 3
+    if max(mb.batch_sizes) > 1:  # a short batch happened → all its waiters
+        assert errs and "results for" in str(errs[0])
+    mb.close()
+
+
+def test_micro_batcher_close_unblocks_and_rejects():
+    """close() errors still-queued items, and later submits raise instead
+    of hanging forever."""
+    from mnc_tpu.pipeline.server import MicroBatcher
+
+    mb = MicroBatcher(lambda imgs: [{}] * len(imgs), max_batch=2,
+                      max_wait_ms=1)
+    mb.submit(np.zeros((2, 2, 3), np.uint8))  # sanity: works while open
+    mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit(np.zeros((2, 2, 3), np.uint8))
+
+
 def test_http_server_batched_mode():
     """End-to-end: server with batch_fn serves concurrent POSTs."""
     def batch_fn(imgs):

@@ -42,11 +42,12 @@ class _TorchBottleneckV1(torch.nn.Module):
     weight FORMAT is identical to torchvision's (v1.5) blocks; only the
     stride placement differs, which lives in the module, not the weights."""
 
-    def __init__(self, c_in, f, stride=1, project=False):
+    def __init__(self, c_in, f, stride=1, project=False, stride_in_3x3=False):
         super().__init__()
-        self.conv1 = torch.nn.Conv2d(c_in, f, 1, stride, 0, bias=False)
+        s1, s2 = (1, stride) if stride_in_3x3 else (stride, 1)
+        self.conv1 = torch.nn.Conv2d(c_in, f, 1, s1, 0, bias=False)
         self.bn1 = torch.nn.BatchNorm2d(f)
-        self.conv2 = torch.nn.Conv2d(f, f, 3, 1, 1, bias=False)
+        self.conv2 = torch.nn.Conv2d(f, f, 3, s2, 1, bias=False)
         self.bn2 = torch.nn.BatchNorm2d(f)
         self.conv3 = torch.nn.Conv2d(f, 4 * f, 1, 1, 0, bias=False)
         self.bn3 = torch.nn.BatchNorm2d(4 * f)
@@ -68,7 +69,8 @@ class _TorchTrunkV1(torch.nn.Module):
     """Stem + layer1-3 of a depth-50 trunk, MSRA stride placement, with
     torchvision state-dict naming (conv1/bn1/layerL.i.*)."""
 
-    def __init__(self, blocks=(3, 4, 6), features=(64, 128, 256)):
+    def __init__(self, blocks=(3, 4, 6), features=(64, 128, 256),
+                 stride_in_3x3=False):
         super().__init__()
         self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = torch.nn.BatchNorm2d(64)
@@ -76,9 +78,10 @@ class _TorchTrunkV1(torch.nn.Module):
         c_in = 64
         for li, (n, f) in enumerate(zip(blocks, features)):
             stride = 1 if li == 0 else 2
-            layers = [_TorchBottleneckV1(c_in, f, stride, True)]
+            layers = [_TorchBottleneckV1(c_in, f, stride, True, stride_in_3x3)]
             c_in = 4 * f
-            layers += [_TorchBottleneckV1(c_in, f) for _ in range(n - 1)]
+            layers += [_TorchBottleneckV1(c_in, f, stride_in_3x3=stride_in_3x3)
+                       for _ in range(n - 1)]
             setattr(self, f"layer{li + 1}", torch.nn.Sequential(*layers))
 
     def forward(self, x):
@@ -124,6 +127,37 @@ def test_resnet_trunk_import_exact(torch_trunk):
         .permute(0, 2, 3, 1).detach().numpy()
     assert got.shape == want.shape == (1, 4, 6, 1024)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_resnet_trunk_import_exact_v15_torchvision_geometry():
+    """Shipped torchvision resnets are v1.5 (stride on the 3x3).  With
+    NET.RESNET_STRIDE_IN_3X3 the imported trunk must match a v1.5 torch
+    oracle exactly — and the v1-geometry trunk must NOT (the silent
+    feature-divergence failure the flag exists to prevent)."""
+    torch.manual_seed(11)
+    net = _TorchTrunkV1(stride_in_3x3=True).eval()
+    _randomize_bn_stats(net, np.random.RandomState(12))
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    x = np.random.RandomState(13).randn(1, 64, 96, 3).astype(np.float32)
+    want = net(torch.tensor(x).permute(0, 3, 1, 2)) \
+        .permute(0, 2, 3, 1).detach().numpy()
+
+    outs = {}
+    for v15 in (True, False):
+        trunk = ResNetTrunk(depth=50, compute_dtype=jnp.float32,
+                            frozen_stages=0, stride_in_3x3=v15)
+        params = jax.tree.map(
+            np.asarray, trunk.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+        full = load_resnet_torchvision({"params": {"trunk": params["params"]}},
+                                       state_dict=sd, depth=50,
+                                       adapt_input=False)
+        outs[v15] = np.asarray(trunk.apply(
+            {"params": full["params"]["trunk"]}, jnp.asarray(x)))
+
+    np.testing.assert_allclose(outs[True], want, rtol=2e-4, atol=2e-4)
+    # same shapes, different features — the mismatch the flag guards against
+    assert outs[False].shape == want.shape
+    assert np.abs(outs[False] - want).max() > 1e-2
 
 
 def test_resnet_stem_input_adaptation(torch_trunk):

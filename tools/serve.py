@@ -83,6 +83,15 @@ def main():
         pipe = ExportedPipeline(args.exported)
         print(f"loaded exported program ({pipe.canvas} canvas) "
               f"from {args.exported}", flush=True)
+        if args.prewarm:
+            import time
+
+            import numpy as _np
+
+            t0 = time.perf_counter()
+            pipe.detect(_np.zeros((*pipe.canvas, 3), _np.uint8))
+            print(f"prewarmed exported program in "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
     else:
         pipe = None
 

@@ -66,6 +66,15 @@ def main():
     if is_synth:  # shrink static shapes to the synthetic canvas
         arch_kw = dict(canvas=canvas, num_classes=num_classes,
                        anchor_scales=(2, 4, 8), rpn_min_size=4.0)
+    if (args.weights and cfg.NET.TRUNK.startswith("resnet")
+            and not args.weights.endswith((".npz", ".caffemodel"))
+            and not cfg.NET.RESNET_STRIDE_IN_3X3):
+        # torchvision resnets are v1.5 (stride on the 3x3); importing them
+        # into v1 geometry matches every shape but computes features the
+        # weights were never trained for.  Auto-enable for a fresh model.
+        print("torchvision ResNet weights: enabling NET.RESNET_STRIDE_IN_3X3 "
+              "(v1.5 geometry the checkpoint was trained with)")
+        cfg.NET.RESNET_STRIDE_IN_3X3 = True
     arch = MNCArch.from_cfg(train=True, **arch_kw)
     frac = arch.anchor_inside_fraction()
     if frac < 0.3:
