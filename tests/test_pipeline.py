@@ -265,6 +265,13 @@ def test_detect_many_matches_detect():
             np.testing.assert_allclose(got["scores"], want["scores"],
                                        rtol=1e-4, atol=1e-5)
             np.testing.assert_array_equal(got["full_masks"], want["full_masks"])
+        # the bounded in-flight window is pure scheduling: strictest window
+        # (fetch immediately after each dispatch) must be result-identical
+        serial = pipe.detect_many(imgs, batch_size=2, auto_orient=True,
+                                  packed=True, max_in_flight=1)
+        for got, want in zip(serial, many):
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k], err_msg=k)
     finally:
         cfg.TEST.SCALES, cfg.TEST.MAX_SIZE = saved
 
