@@ -97,6 +97,9 @@ def _bench():
                     help="pool first-pass detections as voting candidates "
                          "(PostCfg.vote_both_passes)")
     ap.add_argument("--trunk", default=None, choices=(None, "vgg16", "resnet50", "resnet101"))
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 MXU inference path (TEST.INT8 / ops/quant.py); "
+                         "metric gets an _int8 suffix")
     ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None,
                     help="cfg overrides, e.g. --set TEST.RPN_PRE_NMS_TOP_N 6000 "
                          "STATIC.TEST_PRE_NMS_TOP_N 6000 (non-headline: "
@@ -130,6 +133,8 @@ def _bench():
     over = dict(n_stages=args.stages)
     if args.trunk:
         over["trunk"] = args.trunk
+    if args.int8:
+        over["int8_inference"] = True
     arch = MNCArch.from_cfg(train=False, **over)
     post = PostCfg.from_cfg(
         dets_per_class=16,
@@ -194,6 +199,8 @@ def _bench():
               else "three_stage_inference_img_per_sec")
     if args.vote_both:
         metric += "_voteboth"
+    if args.int8:
+        metric += "_int8"
     if args.trunk and args.trunk != "vgg16":
         metric += f"_{args.trunk}"
     if args.set_cfgs:

@@ -220,6 +220,12 @@ __C.TEST.U8_TRANSFER = True
 # Example: ((480, 640), (512, 864))
 __C.TEST.CANVAS_BUCKETS = ()
 __C.TEST.MAX_PER_IMAGE = 100
+# int8 MXU inference (beyond-reference; ops/quant.py): trunk convs +
+# fc6/fc7/fc_mask run s8xs8->s32 with dynamic activation scales and
+# per-channel weight scales quantized from the unchanged float params.
+# Measured (STATUS r3): see the int8 row in the bench table.  Off =
+# reference-parity bf16.  Inference only; training always runs bf16.
+__C.TEST.INT8 = False
 
 # Reference-YAML keys accepted for 1:1 config translation but with no TPU
 # behavior (documented inert — tests enforce every other key is consumed):

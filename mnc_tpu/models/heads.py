@@ -42,14 +42,23 @@ class MaskHead(nn.Module):
     mask_size: int = 21
     fc_dim: int = 256
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # TEST.INT8: fc_mask (the wide 14·14·C → fc_dim matmul) on the int8 MXU
+    # path; mask_pred stays float for logit fidelity.
+    int8: bool = False
 
     @nn.compact
     def __call__(self, roi_feat: jnp.ndarray) -> jnp.ndarray:
         """(N, 14, 14, C) warped features → (N, M, M) mask LOGITS."""
         n = roi_feat.shape[0]
         x = roi_feat.astype(self.compute_dtype).reshape(n, -1)
-        x = nn.Dense(self.fc_dim, dtype=self.compute_dtype, param_dtype=jnp.float32,
-                     name="fc_mask")(x)
+        if self.int8:
+            from mnc_tpu.ops.quant import DenseInt8
+
+            x = DenseInt8(self.fc_dim, compute_dtype=self.compute_dtype,
+                          name="fc_mask")(x)
+        else:
+            x = nn.Dense(self.fc_dim, dtype=self.compute_dtype,
+                         param_dtype=jnp.float32, name="fc_mask")(x)
         x = nn.relu(x)
         x = nn.Dense(self.mask_size * self.mask_size, dtype=self.compute_dtype,
                      param_dtype=jnp.float32, name="mask_pred")(x)
@@ -63,6 +72,9 @@ class ClassifyHead(nn.Module):
     dropout_rate: float = 0.5
     dual_pathway: bool = False  # concat mask-pooled + raw box pathways
     pool_window: int = 2  # warp_hw // pooled_hw (NET.POOLED_HW)
+    # TEST.INT8: run the fc6/fc7 matmuls (the head's FLOPs) on the int8 MXU
+    # path (ops/quant.py); cls_score/bbox_pred stay float for logit fidelity.
+    int8: bool = False
 
     @nn.compact
     def __call__(
@@ -86,11 +98,18 @@ class ClassifyHead(nn.Module):
             p = nn.max_pool(p.astype(self.compute_dtype), (w, w), strides=(w, w))
             feats.append(p.reshape(n, -1))
         x = jnp.concatenate(feats, axis=-1)
-        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.compute_dtype,
-                             param_dtype=jnp.float32, name="fc6")(x))
+        if self.int8:
+            from mnc_tpu.ops.quant import DenseInt8
+
+            fc = lambda name: DenseInt8(self.fc_dim, name=name,  # noqa: E731
+                                        compute_dtype=self.compute_dtype)
+        else:
+            fc = lambda name: nn.Dense(self.fc_dim,  # noqa: E731
+                                       dtype=self.compute_dtype,
+                                       param_dtype=jnp.float32, name=name)
+        x = nn.relu(fc("fc6")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.compute_dtype,
-                             param_dtype=jnp.float32, name="fc7")(x))
+        x = nn.relu(fc("fc7")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         cls = nn.Dense(self.num_classes, dtype=self.compute_dtype,
                        param_dtype=jnp.float32, name="cls_score")(x)

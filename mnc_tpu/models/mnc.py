@@ -116,6 +116,11 @@ class MNCArch:
     # FLOPs for dropping all trunk activations from HBM — lets the training
     # batch grow on memory-bound configs.
     remat_trunk: bool = False
+    # TEST.INT8: run trunk convs (VGG + ResNet) and fc6/fc7/fc_mask (+ the
+    # per-RoI conv5 head) on the int8 MXU path (ops/quant.py — dynamic
+    # activation scales, per-channel weight scales, identical param tree).
+    # Inference only; from_cfg never sets it for train=True.
+    int8_inference: bool = False
 
     def __post_init__(self):
         if self.pooled_hw is None:
@@ -184,6 +189,7 @@ class MNCArch:
                         if cfg.TRAIN.BBOX_NORMALIZE_TARGETS else (0.0,) * 4),
             bbox_stds=(tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS)
                        if cfg.TRAIN.BBOX_NORMALIZE_TARGETS else (1.0,) * 4),
+            int8_inference=bool(cfg.TEST.INT8) and not train,
         )
         kw.update(overrides)
         return cls(**kw)
@@ -368,12 +374,14 @@ class MNC(nn.Module):
         a = self.arch
         if a.trunk == "vgg16":
             cls_t, kw = VGG16Trunk, dict(compute_dtype=a.compute_dtype,
-                                         frozen_blocks=a.trunk_frozen)
+                                         frozen_blocks=a.trunk_frozen,
+                                         int8=a.int8_inference)
         elif a.trunk.startswith("resnet"):
             cls_t, kw = ResNetTrunk, dict(depth=int(a.trunk[6:]),
                                           compute_dtype=a.compute_dtype,
                                           frozen_stages=a.trunk_frozen,
-                                          stride_in_3x3=a.resnet_stride_in_3x3)
+                                          stride_in_3x3=a.resnet_stride_in_3x3,
+                                          int8=a.int8_inference)
         else:
             raise ValueError(f"unknown trunk {a.trunk!r}")
         if a.remat_trunk:
@@ -383,7 +391,8 @@ class MNC(nn.Module):
         # Stages 2&4 share mask-head weights; stages 3&5 share classify-head
         # weights (reference 5-stage design).
         self.mask_head = MaskHead(mask_size=a.mask_size, fc_dim=a.mask_fc_dim,
-                                  compute_dtype=a.compute_dtype)
+                                  compute_dtype=a.compute_dtype,
+                                  int8=a.int8_inference)
         if a.roi_conv5:
             from mnc_tpu.models.resnet import ConvRoIHead
 
@@ -392,12 +401,14 @@ class MNC(nn.Module):
             self.classify_head = ConvRoIHead(
                 num_classes=a.num_classes, depth=int(a.trunk[6:]),
                 compute_dtype=a.compute_dtype,
-                stride_in_3x3=a.resnet_stride_in_3x3)
+                stride_in_3x3=a.resnet_stride_in_3x3,
+                int8=a.int8_inference)
         else:
             self.classify_head = ClassifyHead(num_classes=a.num_classes, fc_dim=a.fc_dim,
                                               compute_dtype=a.compute_dtype,
                                               dual_pathway=a.dual_pathway,
-                                              pool_window=a.warp_hw // a.pooled_hw)
+                                              pool_window=a.warp_hw // a.pooled_hw,
+                                              int8=a.int8_inference)
 
     # ---- stage pieces (also used by the training loop) ----
 

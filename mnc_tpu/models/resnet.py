@@ -47,16 +47,26 @@ class Bottleneck(nn.Module):
     project: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     stride_in_3x3: bool = False
+    int8: bool = False  # TEST.INT8 — convs on the int8 MXU path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
         # explicit symmetric padding (k//2 each side) — flax "SAME" pads
         # asymmetrically on even sizes at stride 2, a one-pixel shift vs the
         # torch/Caffe convention the pretrained weights were trained under
-        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
-            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name,
-        )
+        if self.int8:
+            from mnc_tpu.ops.quant import ConvInt8
+
+            conv = lambda f, k, s, name: ConvInt8(  # noqa: E731
+                f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+                use_bias=False, compute_dtype=self.dtype, name=name,
+            )
+        else:
+            conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
+                f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                name=name,
+            )
         s1, s2 = (1, self.stride) if self.stride_in_3x3 else (self.stride, 1)
         residual = x
         y = conv(self.features, 1, s1, "conv1")(x)
@@ -89,6 +99,7 @@ class ConvRoIHead(nn.Module):
     depth: int = 101
     compute_dtype: jnp.dtype = jnp.bfloat16
     stride_in_3x3: bool = False  # v1.5 geometry (torchvision) — see Bottleneck
+    int8: bool = False  # TEST.INT8 — convs on the int8 MXU path (ops/quant.py)
 
     @nn.compact
     def __call__(self, roi_feat, soft_masks, train: bool = False):
@@ -100,10 +111,10 @@ class ConvRoIHead(nn.Module):
         n_blocks = _DEPTHS[self.depth][3]
         # first block strides 2: 14×14 → 7×7 (the standard conv5 geometry)
         x = Bottleneck(512, 2, True, self.compute_dtype, self.stride_in_3x3,
-                       name="stage5_block0")(x)
+                       self.int8, name="stage5_block0")(x)
         for b in range(1, n_blocks):
             x = Bottleneck(512, 1, False, self.compute_dtype, self.stride_in_3x3,
-                           name=f"stage5_block{b}")(x)
+                           self.int8, name=f"stage5_block{b}")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, 2048)
         cls = nn.Dense(self.num_classes, dtype=self.compute_dtype,
                        param_dtype=jnp.float32, name="cls_score")(x)
@@ -121,6 +132,7 @@ class ResNetTrunk(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     frozen_stages: int = 1  # stop grads through conv1 (+stem), detection default
     stride_in_3x3: bool = False  # v1.5 geometry (torchvision) — see Bottleneck
+    int8: bool = False  # TEST.INT8 — convs on the int8 MXU path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
@@ -133,9 +145,16 @@ class ResNetTrunk(nn.Module):
         blocks = _DEPTHS[self.depth][:3]  # stages conv2..conv4 → stride 16
 
         # symmetric padding, matching torch/Caffe (see Bottleneck note)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, dtype=self.compute_dtype,
-                    param_dtype=jnp.float32, name="conv1")(x)
+        if self.int8:
+            from mnc_tpu.ops.quant import ConvInt8
+
+            x = ConvInt8(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                         use_bias=False, compute_dtype=self.compute_dtype,
+                         name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                        use_bias=False, dtype=self.compute_dtype,
+                        param_dtype=jnp.float32, name="conv1")(x)
         x = nn.relu(FrozenBN(64, self.compute_dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         if self.frozen_stages >= 1:
@@ -145,10 +164,11 @@ class ResNetTrunk(nn.Module):
         for stage, (n_blocks, f) in enumerate(zip(blocks, features)):
             stride = 1 if stage == 0 else 2
             x = Bottleneck(f, stride, True, self.compute_dtype,
-                           self.stride_in_3x3, name=f"stage{stage + 2}_block0")(x)
+                           self.stride_in_3x3, self.int8,
+                           name=f"stage{stage + 2}_block0")(x)
             for b in range(1, n_blocks):
                 x = Bottleneck(f, 1, False, self.compute_dtype,
-                               self.stride_in_3x3,
+                               self.stride_in_3x3, self.int8,
                                name=f"stage{stage + 2}_block{b}")(x)
             if self.frozen_stages >= stage + 2:
                 x = jax.lax.stop_gradient(x)

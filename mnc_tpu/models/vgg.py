@@ -38,6 +38,9 @@ class VGG16Trunk(nn.Module):
 
     compute_dtype: jnp.dtype = jnp.bfloat16
     frozen_blocks: int = 2
+    # int8 MXU inference path (TEST.INT8): identical param tree, convs run
+    # s8×s8→s32 with dynamic activation scales (ops/quant.py). Inference only.
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -47,14 +50,21 @@ class VGG16Trunk(nn.Module):
         x = x.astype(self.compute_dtype)
         for b, block in enumerate(_VGG16_BLOCKS):
             for name, ch in block:
-                x = nn.Conv(
-                    ch,
-                    (3, 3),
-                    padding="SAME",
-                    dtype=self.compute_dtype,
-                    param_dtype=jnp.float32,
-                    name=name,
-                )(x)
+                if self.int8:
+                    from mnc_tpu.ops.quant import ConvInt8
+
+                    x = ConvInt8(ch, (3, 3), padding="SAME",
+                                 compute_dtype=self.compute_dtype,
+                                 name=name)(x)
+                else:
+                    x = nn.Conv(
+                        ch,
+                        (3, 3),
+                        padding="SAME",
+                        dtype=self.compute_dtype,
+                        param_dtype=jnp.float32,
+                        name=name,
+                    )(x)
                 x = nn.relu(x)
             if b < 4:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))

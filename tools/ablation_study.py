@@ -102,6 +102,10 @@ def main():
         # types trainable on this canvas — measured OFF (reference scored all)
         "5stage_nosuppress": (dataclasses.replace(
             base, suppress_untrainable_anchors=False), post0),
+        # int8 MXU inference path (TEST.INT8, ops/quant.py) on the same
+        # float weights — the accuracy half of the quantization trade
+        "5stage_int8": (dataclasses.replace(base, int8_inference=True),
+                        post0),
     }
     if args.only:
         variants = {args.only: variants[args.only]}

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--lr", type=float, default=0.001)
     ap.add_argument("--stepsize", type=int, default=None,
                     help="step-LR decay point (default 3/4 of iters)")
+    ap.add_argument("--int8-eval", action="store_true",
+                    help="after training, also evaluate the final weights on "
+                         "the int8 MXU path (TEST.INT8) — accuracy delta")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="output")
     ap.add_argument("--trunk", default="vgg16",
@@ -233,9 +236,29 @@ def main():
            "wall_s": round(time.time() - t0, 1)}
     curve_f.write(json.dumps(rec) + "\n")
     curve_f.close()
-    print(json.dumps({"map_r_050": round(r5["map"], 4),
-                      "map_r_070": round(r7["map"], 4),
-                      "iters": args.iters, "batch": args.batch}))
+    final = {"map_r_050": round(r5["map"], 4),
+             "map_r_070": round(r7["map"], 4),
+             "iters": args.iters, "batch": args.batch}
+    if args.int8_eval:
+        # re-evaluate the SAME weights on the int8 MXU path (TEST.INT8
+        # semantics) — the accuracy half of the quantization measurement
+        import dataclasses
+
+        from mnc_tpu.pipeline.inference import MNCPipeline as _P
+
+        pipe_q = _P(MNC(arch=dataclasses.replace(arch, int8_inference=True)),
+                    state.params, pipe.post)
+        dets = []
+        for i, ex in zip(val.image_index, val_ex):
+            out = jax.device_get(pipe_q.detect_canvas_packed(
+                jnp.asarray(ex["image"]), jnp.asarray(ex["im_info"])))
+            out = unpack_canvas_masks(out, arch.canvas[1])
+            dets.extend(collect_detections(out, i, score_thresh=0.05))
+        q5 = eval_sds(dets, gt, val.num_classes, 0.5)
+        q7 = eval_sds(dets, gt, val.num_classes, 0.7)
+        final["int8_map_r_050"] = round(q5["map"], 4)
+        final["int8_map_r_070"] = round(q7["map"], 4)
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
