@@ -37,6 +37,39 @@ import numpy as np
 
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CACHE.json")
 
+# Chip peaks for roofline accounting (dense peak per chip; bf16 matmul
+# TFLOP/s, HBM GB/s).  v5e: 197 bf16 TFLOP/s (394 int8 TOPS), 819 GB/s.
+_CHIP_PEAKS = {
+    "v5e": (197e12, 819e9),
+    "v5 lite": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6e": (918e12, 1640e9),
+    "v6 lite": (918e12, 1640e9),
+}
+
+
+def _chip_peaks(device) -> tuple[float, float, str]:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in kind:
+            return (*peaks, key)
+    return (*_CHIP_PEAKS["v5e"], f"unknown({kind})-assuming-v5e")
+
+
+def _cost_analysis(compiled) -> tuple[float, float]:
+    """(flops, bytes_accessed) of a compiled XLA executable; 0.0 if the
+    backend doesn't report a field.  Handles both dict and [dict] returns."""
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return 0.0, 0.0
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    return flops, byts
+
 
 def _fallback_record(why: str) -> dict:
     """A record for when no fresh device measurement could be taken.
@@ -107,6 +140,11 @@ def _bench():
                     help="cfg overrides, e.g. --set TEST.RPN_PRE_NMS_TOP_N 6000 "
                          "STATIC.TEST_PRE_NMS_TOP_N 6000 (non-headline: "
                          "metric gets a _cfg suffix, cache untouched)")
+    ap.add_argument("--mfu", action="store_true",
+                    help="roofline accounting: FLOPs + HBM bytes of the "
+                         "compiled program (XLA cost analysis), achieved "
+                         "TFLOP/s + GB/s vs chip peaks, and which wall the "
+                         "program sits against (extra keys in the JSON line)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--watchdog", type=float,
@@ -183,6 +221,11 @@ def _bench():
     float(jax.device_get(step(params, images, infos, zero)))
     compile_s = time.perf_counter() - t_compile
 
+    flops = byts = 0.0
+    if args.mfu:
+        compiled = step.lower(params, images, infos, zero).compile()
+        flops, byts = _cost_analysis(compiled)
+
     def timed(n):
         t0 = time.perf_counter()
         carry = zero
@@ -216,6 +259,23 @@ def _bench():
         "unit": "img/s",
         "vs_baseline": round(img_s / 2.8, 2),
     }
+    if args.mfu and flops > 0:
+        peak_flops, peak_bw, chip = _chip_peaks(jax.devices()[0])
+        ach_flops = flops / per_step
+        ach_bw = byts / per_step
+        intensity = flops / max(byts, 1.0)  # FLOP/byte of the program
+        ridge = peak_flops / peak_bw  # chip FLOP/byte balance point
+        rec.update({
+            "chip": chip,
+            "gflop_per_img": round(flops / args.batch / 1e9, 2),
+            "hbm_gb_per_img": round(byts / args.batch / 1e9, 3),
+            "achieved_tflops": round(ach_flops / 1e12, 1),
+            "mfu_pct": round(100 * ach_flops / peak_flops, 1),
+            "achieved_hbm_gbps": round(ach_bw / 1e9, 1),
+            "hbm_util_pct": round(100 * ach_bw / peak_bw, 1),
+            "arith_intensity": round(intensity, 1),
+            "roofline_bound": ("compute" if intensity > ridge else "memory"),
+        })
     headline = (args.stages == 5 and not args.vote_both and not args.trunk
                 and not args.set_cfgs and not args.no_paste
                 and not args.no_merge)

@@ -196,6 +196,12 @@ __C.TEST.USE_MASK_MERGE = True
 __C.TEST.USE_GPU_MASK_MERGE = True  # compat; mask voting is on-device on TPU
 __C.TEST.MASK_MERGE_IOU_THRESH = 0.5
 __C.TEST.MASK_MERGE_NMS_THRESH = 0.3
+# Score-weighted BOX averaging over the same IoU>=MASK_MERGE_IOU_THRESH
+# neighbor set the mask vote uses — the ⚠box-averaging half of the reference
+# lib/nms/mv.pyx (SURVEY §2.1), resolved as a gated option per VERDICT r3
+# item 4.  Default OFF: measured mAP-neutral-to-negative on the flagship
+# ablation (see STATUS r4), matching mask-only voting = current behavior.
+__C.TEST.VOTE_BOXES = False
 __C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
 # Run portrait images on the transposed canvas (exact reference scale rule)
 # instead of extra-downscaling them into the landscape canvas.

@@ -110,6 +110,62 @@ def mask_voting(
     return num / den[:, None, None]
 
 
+def box_voting(
+    kept_boxes: jnp.ndarray,
+    cand_boxes: jnp.ndarray,
+    cand_scores: jnp.ndarray,
+    cand_valid: jnp.ndarray | None = None,
+    iou_thresh: float = 0.5,
+) -> jnp.ndarray:
+    """Score-weighted box averaging over IoU neighbors.
+
+    The box-averaging half of the reference mask-merge op (``lib/nms/mv.pyx``,
+    SURVEY §2.1 — flagged ⚠detail there; resolved per VERDICT r3 item 4 as a
+    gated option, ``TEST.VOTE_BOXES``, default off = mask-only voting).  Each
+    kept box becomes the candidate-score-weighted mean of all candidate boxes
+    with IoU >= ``iou_thresh`` against the ORIGINAL kept box; a box with no
+    neighbors (cannot happen when it is its own candidate) stays unchanged.
+
+    Args:
+      kept_boxes: (N, 4) NMS survivors.
+      cand_boxes: (K, 4) same-class candidates.
+      cand_scores: (K,).
+      cand_valid: (K,) bool padding mask (None = all valid).
+
+    Returns (N, 4) float32 averaged boxes.
+    """
+    iou = bbox_overlaps(kept_boxes, cand_boxes)  # (N, K)
+    w = jnp.where(iou >= iou_thresh, cand_scores.astype(jnp.float32), 0.0)
+    if cand_valid is not None:
+        w = jnp.where(cand_valid[None, :], w, 0.0)
+    den = jnp.sum(w, axis=1)
+    num = w @ cand_boxes.astype(jnp.float32)  # (N, 4)
+    return jnp.where(den[:, None] > 1e-8, num / jnp.maximum(den, 1e-8)[:, None],
+                     kept_boxes.astype(jnp.float32))
+
+
+def box_voting_per_det(
+    kept_boxes: jnp.ndarray,
+    cand_boxes: jnp.ndarray,
+    cand_scores: jnp.ndarray,
+    iou_thresh: float = 0.5,
+) -> jnp.ndarray:
+    """:func:`box_voting` with a PER-DETECTION candidate set.
+
+    Args: kept_boxes (N, 4); cand_boxes (N, Cv, 4); cand_scores (N, Cv).
+    Returns (N, 4) score-weighted neighbor-average boxes (a kept box is
+    always its own candidate post-NMS, so the denominator never vanishes;
+    guarded anyway).
+    """
+    iou = jax.vmap(lambda kb, cb: bbox_overlaps(kb[None], cb)[0])(
+        kept_boxes, cand_boxes)  # (N, Cv)
+    w = jnp.where(iou >= iou_thresh, cand_scores.astype(jnp.float32), 0.0)
+    den = jnp.sum(w, axis=1)
+    num = jnp.einsum("nc,ncd->nd", w, cand_boxes.astype(jnp.float32))
+    return jnp.where(den[:, None] > 1e-8, num / jnp.maximum(den, 1e-8)[:, None],
+                     kept_boxes.astype(jnp.float32))
+
+
 def mask_voting_per_det(
     kept_boxes: jnp.ndarray,
     cand_boxes: jnp.ndarray,

@@ -170,21 +170,34 @@ def roi_pool(
     h, w, _ = features.shape
     ph, pw = out_hw
 
-    x1 = jnp.round(rois[:, 0] * spatial_scale)
-    y1 = jnp.round(rois[:, 1] * spatial_scale)
-    x2 = jnp.round(rois[:, 2] * spatial_scale)
-    y2 = jnp.round(rois[:, 3] * spatial_scale)
-    roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
-    roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
-    bh = roi_h / ph
-    bw = roi_w / pw
+    def c_round(x):
+        # C/C++ std::round = half AWAY from zero — what the Caffe layer used.
+        # jnp.round is half-to-even, which flips every corner landing exactly
+        # on a .5 feature coordinate (e.g. x=8 at stride 16 → 0.5: Caffe→1,
+        # round-half-even→0).  Caught by the independent golden fixture pack
+        # (tests/fixtures/golden/roi_pool.npz, round 4).
+        return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
-    def axis_mask(lo, bsz, src_size, nbins):
-        # mask[s, p] = cell s in [lo + floor(p*bsz), lo + ceil((p+1)*bsz))
-        p = jnp.arange(nbins, dtype=jnp.float32)
-        start = jnp.floor(p * bsz) + lo
-        end = jnp.ceil((p + 1.0) * bsz) + lo
-        s = jnp.arange(src_size, dtype=jnp.float32)
+    x1 = c_round(rois[:, 0] * spatial_scale).astype(jnp.int32)
+    y1 = c_round(rois[:, 1] * spatial_scale).astype(jnp.int32)
+    x2 = c_round(rois[:, 2] * spatial_scale).astype(jnp.int32)
+    y2 = c_round(rois[:, 3] * spatial_scale).astype(jnp.int32)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+
+    def axis_mask(lo, rsz, src_size, nbins):
+        # mask[s, p] = cell s in [lo + floor(p*rsz/nbins),
+        #                         lo + ceil((p+1)*rsz/nbins)).
+        # EXACT integer rational arithmetic: floor(a/b) = a//b and
+        # ceil(a/b) = (a+b-1)//b.  Float division here is a knife-edge —
+        # XLA's f32 divide is reciprocal-based (1 ulp off correctly-rounded),
+        # so ceil((q+1)*(rw/bins)) overshot exact-integer boundaries (e.g.
+        # 7*(9/7) → 9.000001 → ceil 10), annexing a whole extra feature
+        # column.  Caught by the golden fixture pack (round 4).
+        p = jnp.arange(nbins, dtype=jnp.int32)
+        start = (p * rsz) // nbins + lo
+        end = ((p + 1) * rsz + nbins - 1) // nbins + lo
+        s = jnp.arange(src_size, dtype=jnp.int32)
         return (s[:, None] >= start[None, :]) & (s[:, None] < end[None, :])
 
     def one(y1i, x1i, bhi, bwi):
@@ -198,5 +211,5 @@ def roi_pool(
         out = jnp.where(my.T[:, :, None, None], fx[None, :, :, :], neg).max(axis=1)
         return jnp.where(out == neg, 0.0, out)
 
-    out = jax.vmap(one)(y1, x1, bh, bw)
+    out = jax.vmap(one)(y1, x1, roi_h, roi_w)
     return out.astype(features.dtype)

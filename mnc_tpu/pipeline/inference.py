@@ -19,7 +19,7 @@ import numpy as np
 from mnc_tpu.config import cfg
 from mnc_tpu.models.mnc import MNC, MNCArch
 from mnc_tpu.ops.masks import paste_masks
-from mnc_tpu.ops.mask_voting import mask_voting_per_det
+from mnc_tpu.ops.mask_voting import box_voting_per_det, mask_voting_per_det
 from mnc_tpu.ops.nms import nms_indices
 from mnc_tpu.utils.blob import prep_im_for_blob
 
@@ -37,6 +37,11 @@ class PostCfg:
     # over all of a class's detections, but sub-threshold candidates carry
     # negligible weight; 64 covers every practical case at ~5x less work.
     vote_top_k: int = 64
+    # TEST.VOTE_BOXES: ALSO average the detection BOX over the same weighted
+    # neighbor set (the ⚠box-averaging half of lib/nms/mv.pyx, SURVEY §2.1 —
+    # VERDICT r3 item 4).  The merged mask is then voted into the AVERAGED
+    # box's frame (and pasted there).  Default off = mask-only voting.
+    vote_boxes: bool = False
     # 5-stage: also pool the FIRST-pass (stage-3) detections as NMS/voting
     # candidates, each with its own pass scores — doubles the candidate set
     # (and postprocess cost) for slightly denser voting neighborhoods.
@@ -55,6 +60,7 @@ class PostCfg:
             max_per_image=cfg.TEST.MAX_PER_IMAGE,
             use_mask_merge=bool(cfg.TEST.USE_MASK_MERGE),
             mask_merge_iou=cfg.TEST.MASK_MERGE_IOU_THRESH,
+            vote_boxes=bool(cfg.TEST.VOTE_BOXES),
             binarize_thresh=cfg.BINARIZE_THRESH,
         )
         kw.update(over)
@@ -108,6 +114,11 @@ def postprocess_detections(
         det_cand_scores = jnp.where(
             roi_valid[None, :], cls_prob.T[det_classes], 0.0)  # (K, N)
         cs, ci = jax.lax.top_k(det_cand_scores, kv)  # (K, kv)
+        if post.vote_boxes:
+            # neighbor set defined by the ORIGINAL kept box; masks are then
+            # voted (and pasted) in the averaged box's frame
+            det_boxes = box_voting_per_det(
+                det_boxes, rois[ci], cs, post.mask_merge_iou)
         det_masks = mask_voting_per_det(
             det_boxes, rois[ci], cs, soft_masks[ci], post.mask_merge_iou)
     else:

@@ -106,6 +106,10 @@ def main():
         # float weights — the accuracy half of the quantization trade
         "5stage_int8": (dataclasses.replace(base, int8_inference=True),
                         post0),
+        # TEST.VOTE_BOXES: score-weighted box averaging over the voting
+        # neighbor set (the mv.pyx ⚠box half — VERDICT r3 item 4)
+        "5stage_voteboxes": (base,
+                             dataclasses.replace(post0, vote_boxes=True)),
     }
     if args.only:
         variants = {args.only: variants[args.only]}

@@ -14,6 +14,7 @@ embed ~0.5 GB of weights as constants in the remote-compile request.
 
 import _init_paths  # noqa: F401
 import argparse
+import os
 import time
 
 
@@ -23,6 +24,12 @@ def parse_args():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stages", type=int, default=5, choices=(3, 5))
+    ap.add_argument("--mfu", action="store_true",
+                    help="per-stage roofline: FLOPs + HBM bytes (XLA cost "
+                         "analysis of each compiled piece), achieved TFLOP/s "
+                         "and GB/s vs chip peaks, and the binding wall")
+    ap.add_argument("--json", default=None,
+                    help="also append per-stage records to this jsonl file")
     ap.add_argument("--cpu", action="store_true")
     return ap.parse_args()
 
@@ -61,6 +68,16 @@ def main():
         print(f"trace written to {args.trace}")
         return
 
+    from bench import _chip_peaks, _cost_analysis
+
+    peak_flops, peak_bw, chip = _chip_peaks(jax.devices()[0])
+    ridge = peak_flops / peak_bw
+    if args.mfu:
+        print(f"# chip={chip} peaks: {peak_flops / 1e12:.0f} TFLOP/s bf16, "
+              f"{peak_bw / 1e9:.0f} GB/s HBM (ridge {ridge:.0f} FLOP/B)")
+
+    records = []
+
     def piece(name, fn, p, *inputs):
         @jax.jit
         def step(carry, p, *ins):
@@ -84,7 +101,29 @@ def main():
         t1 = min(timed(1) for _ in range(2))
         tn = min(timed(args.iters + 1) for _ in range(2))
         ms = (tn - t1) / args.iters * 1e3 / args.batch
-        print(f"{name:28s} {ms:8.3f} ms/img", flush=True)
+        rec = {"stage": name, "ms_per_img": round(ms, 3), "batch": args.batch}
+        line = f"{name:28s} {ms:8.3f} ms/img"
+        if args.mfu:
+            step_s = ms * 1e-3 * args.batch  # per-dispatch seconds
+            flops, byts = _cost_analysis(
+                step.lower(zero, p, *inputs).compile())
+            intensity = flops / max(byts, 1.0)
+            rec.update({
+                "gflop_per_img": round(flops / args.batch / 1e9, 2),
+                "hbm_gb_per_img": round(byts / args.batch / 1e9, 4),
+                "achieved_tflops": round(flops / step_s / 1e12, 1),
+                "mfu_pct": round(100 * flops / step_s / peak_flops, 1),
+                "achieved_hbm_gbps": round(byts / step_s / 1e9, 1),
+                "hbm_util_pct": round(100 * byts / step_s / peak_bw, 1),
+                "bound": "compute" if intensity > ridge else "memory",
+            })
+            line += (f"  {rec['gflop_per_img']:9.1f} GF/img"
+                     f" {rec['hbm_gb_per_img']:7.3f} GB/img"
+                     f"  {rec['achieved_tflops']:6.1f} TF/s ({rec['mfu_pct']:4.1f}%)"
+                     f"  {rec['achieved_hbm_gbps']:6.1f} GB/s ({rec['hbm_util_pct']:4.1f}%)"
+                     f"  {rec['bound']}-bound")
+        print(line, flush=True)
+        records.append(rec)
         return ms
 
     def vm(f):
@@ -119,6 +158,15 @@ def main():
     total += piece("postprocess (nms+vote+paste)", f_post, params, rois, valid,
                    cls_prob, mask_logits)
     print(f"{'sum of pieces (3-stage-ish)':28s} {total:8.3f} ms/img")
+    if args.json:
+        import json
+        import os.path as osp
+
+        os.makedirs(osp.dirname(args.json) or ".", exist_ok=True)
+        with open(args.json, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+        print(f"appended {len(records)} records to {args.json}")
 
 
 if __name__ == "__main__":
