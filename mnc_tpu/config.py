@@ -130,6 +130,12 @@ __C.NET.RESNET_STRIDE_IN_3X3 = False
 # on the canvas.  Set False when running imported/foreign weights — the
 # reference ProposalLayer scores all anchors (DESIGN.md §8).
 __C.NET.SUPPRESS_UNTRAINABLE_ANCHORS = True
+# Execute VGG block 1 (conv1_1/conv1_2/pool1) in 2x2 space-to-depth layout:
+# half resolution, 4x channels — exact same math (models/vgg.py
+# _s2d_phase_kernel), but conv1_1's 3-channel contraction goes to 12 and the
+# full-resolution HBM traffic of block 1 halves.  Layout-only knob: the param
+# tree is unchanged, so checkpoints are interchangeable with the plain path.
+__C.NET.S2D_BLOCK1 = False
 
 # ---- training ----
 __C.TRAIN = _tree()

@@ -121,6 +121,10 @@ class MNCArch:
     # activation scales, per-channel weight scales, identical param tree).
     # Inference only; from_cfg never sets it for train=True.
     int8_inference: bool = False
+    # NET.S2D_BLOCK1: run VGG block 1 in 2x2 space-to-depth layout (exact
+    # math, half-resolution HBM traffic, MXU-friendly contraction depths —
+    # models/vgg.py). Layout-only: param tree and checkpoints unchanged.
+    s2d_block1: bool = False
 
     def __post_init__(self):
         if self.pooled_hw is None:
@@ -190,6 +194,7 @@ class MNCArch:
             bbox_stds=(tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS)
                        if cfg.TRAIN.BBOX_NORMALIZE_TARGETS else (1.0,) * 4),
             int8_inference=bool(cfg.TEST.INT8) and not train,
+            s2d_block1=bool(cfg.NET.S2D_BLOCK1),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -375,7 +380,8 @@ class MNC(nn.Module):
         if a.trunk == "vgg16":
             cls_t, kw = VGG16Trunk, dict(compute_dtype=a.compute_dtype,
                                          frozen_blocks=a.trunk_frozen,
-                                         int8=a.int8_inference)
+                                         int8=a.int8_inference,
+                                         s2d_block1=a.s2d_block1)
         elif a.trunk.startswith("resnet"):
             cls_t, kw = ResNetTrunk, dict(depth=int(a.trunk[6:]),
                                           compute_dtype=a.compute_dtype,

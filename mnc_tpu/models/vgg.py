@@ -17,6 +17,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 # (name, channels) per block; pools come between blocks.
 _VGG16_BLOCKS: Sequence[Sequence[tuple[str, int]]] = (
@@ -26,6 +27,77 @@ _VGG16_BLOCKS: Sequence[Sequence[tuple[str, int]]] = (
     (("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512)),
     (("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512)),
 )
+
+
+def _space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/r, W/r, r·r·C); channel index = (a·r + b)·C + c
+    where (a, b) is the within-cell (row, col) phase."""
+    b_, h, w, c = x.shape
+    x = x.reshape(b_, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h // r, w // r, r * r * c)
+
+
+def _s2d_phase_kernel(w: jnp.ndarray, a: int, b: int) -> jnp.ndarray:
+    """Rearrange a 3×3 stride-1 conv kernel into the 2×2 kernel that computes
+    output phase (a, b) directly in 2×2 space-to-depth layout.
+
+    Exactness: for output row m = 2p + a and tap offset s ∈ {-1,0,1}, the
+    input row m + s = 2(p + P) + α with (P, α) = divmod(a + s, 2); P spans two
+    consecutive s2d rows, so the tap lands at s2d-kernel row ki = P + 1 - a
+    (the phase conv is applied with padding (1-a, a) / (1-b, b)).  27 of the
+    2·2·(4·Cin) kernel slots are populated; the rest stay zero.  Same scatter
+    for columns with (b, t, β).
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), "s2d rewrite is for 3x3 stride-1 convs"
+    k = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for s in (-1, 0, 1):
+        pi, alpha = divmod(a + s, 2)
+        ki = pi + 1 - a
+        for t in (-1, 0, 1):
+            pj, beta = divmod(b + t, 2)
+            kj = pj + 1 - b
+            lo = (alpha * 2 + beta) * cin
+            k = k.at[ki, kj, lo:lo + cin, :].set(w[s + 1, t + 1])
+    return k
+
+
+def _s2d_conv(x2: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+              compute_dtype) -> jnp.ndarray:
+    """3×3 stride-1 SAME conv + bias, computed entirely in 2×2 s2d layout:
+    (B, H/2, W/2, 4·Cin) → (B, H/2, W/2, 4·Cout).  Bit-exact in math to the
+    full-resolution conv (SAME zero padding maps to zero padding here)."""
+    outs = []
+    dn = lax.conv_dimension_numbers(x2.shape, (2, 2, x2.shape[-1], w.shape[-1]),
+                                    ("NHWC", "HWIO", "NHWC"))
+    for a in (0, 1):
+        for b in (0, 1):
+            k = _s2d_phase_kernel(w, a, b).astype(compute_dtype)
+            y = lax.conv_general_dilated(
+                x2, k, window_strides=(1, 1),
+                padding=((1 - a, a), (1 - b, b)), dimension_numbers=dn)
+            outs.append(y + bias.astype(compute_dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+class _S2DConv(nn.Module):
+    """A 3×3 stride-1 SAME conv evaluated in 2×2 space-to-depth layout.
+
+    Parameter tree is identical to ``nn.Conv(features, (3,3))`` — kernel
+    (3, 3, cin, features) + bias (features,) — so checkpoints and Caffe/
+    torchvision imports are interchangeable with the full-res path."""
+
+    cin: int
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x2: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return _s2d_conv(x2, kernel, bias, self.compute_dtype)
 
 
 class VGG16Trunk(nn.Module):
@@ -41,6 +113,12 @@ class VGG16Trunk(nn.Module):
     # int8 MXU inference path (TEST.INT8): identical param tree, convs run
     # s8×s8→s32 with dynamic activation scales (ops/quant.py). Inference only.
     int8: bool = False
+    # Run block 1 (conv1_1, conv1_2, pool1) in 2×2 space-to-depth layout:
+    # half resolution, 4× channels.  Exact same math (see _s2d_phase_kernel);
+    # conv1_1's 3-channel contraction is MXU-pathological at full resolution
+    # (the 128-lane systolic array runs ~3/128 occupied), and s2d quadruples
+    # the contraction depth while fusing pool1 into a phase-group max.
+    s2d_block1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +126,23 @@ class VGG16Trunk(nn.Module):
         if squeeze:
             x = x[None]
         x = x.astype(self.compute_dtype)
+        start = 0
+        if self.s2d_block1 and not self.int8:
+            assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, \
+                "s2d block1 needs an even canvas"
+            x2 = _space_to_depth(x, 2)
+            x2 = nn.relu(_S2DConv(3, 64, compute_dtype=self.compute_dtype,
+                                  name="conv1_1")(x2))
+            x2 = nn.relu(_S2DConv(64, 64, compute_dtype=self.compute_dtype,
+                                  name="conv1_2")(x2))
+            b_, h2, w2, _ = x2.shape
+            x = x2.reshape(b_, h2, w2, 4, 64).max(axis=3)  # pool1, exactly
+            if self.frozen_blocks > 0:
+                x = jax.lax.stop_gradient(x)
+            start = 1
         for b, block in enumerate(_VGG16_BLOCKS):
+            if b < start:
+                continue
             for name, ch in block:
                 if self.int8:
                     from mnc_tpu.ops.quant import ConvInt8

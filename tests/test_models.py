@@ -199,3 +199,36 @@ def test_features_normalizes_u8_on_device(model_and_params):
     finally:
         cfg.PIXEL_MEANS = saved
     np.testing.assert_array_equal(np.asarray(f_u8), np.asarray(f_f32))
+
+
+def test_s2d_block1_exact_vs_plain_trunk():
+    """NET.S2D_BLOCK1 is a pure layout rewrite: the space-to-depth block-1
+    trunk (models/vgg.py::_s2d_phase_kernel) must match the plain trunk
+    value- and gradient-wise on identical params (the param trees are
+    interchangeable by construction)."""
+    from mnc_tpu.models.vgg import VGG16Trunk
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(1, 32, 48, 3).astype(np.float32))
+    plain = VGG16Trunk(compute_dtype=jnp.float32, frozen_blocks=0)
+    s2d = VGG16Trunk(compute_dtype=jnp.float32, frozen_blocks=0,
+                     s2d_block1=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    # identical param trees → same init works for both
+    y0 = plain.apply(params, x)
+    y1 = s2d.apply(params, x)
+    assert y0.shape == y1.shape == (1, 2, 3, 512)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn, p):
+        return jnp.sum(fn.apply(p, x) ** 2)
+
+    g0 = jax.grad(lambda p: loss(plain, p))(params)
+    g1 = jax.grad(lambda p: loss(s2d, p))(params)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in flat0:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat1[path]), rtol=3e-3, atol=3e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
