@@ -30,6 +30,11 @@ def parse_args():
                          "and GB/s vs chip peaks, and the binding wall")
     ap.add_argument("--json", default=None,
                     help="also append per-stage records to this jsonl file")
+    ap.add_argument("--set", dest="set_cfgs", nargs="*", default=None,
+                    help="cfg overrides, e.g. --set NET.S2D_BLOCK1 True")
+    ap.add_argument("--trunk-only", action="store_true",
+                    help="time only the trunk piece (fast A/B of trunk "
+                         "layout knobs like NET.S2D_BLOCK1 / TEST.INT8)")
     ap.add_argument("--cpu", action="store_true")
     return ap.parse_args()
 
@@ -45,6 +50,11 @@ def main():
 
     from mnc_tpu.models.mnc import MNC, MNCArch, propose_rois, stage_bridge
     from mnc_tpu.pipeline.inference import PostCfg, postprocess_detections
+
+    if args.set_cfgs:
+        from mnc_tpu.config import cfg_from_list
+
+        cfg_from_list(args.set_cfgs)
 
     arch = MNCArch.from_cfg(train=False, n_stages=args.stages)
     post = PostCfg.from_cfg(dets_per_class=16)
@@ -138,6 +148,19 @@ def main():
     f_bridge = vm(lambda p, r, c, b, i: stage_bridge(r, c, b, i, arch))
     f_post = vm(lambda p, r, v, c, m: postprocess_detections(
         r, v, c, m, post, arch.canvas))
+
+    if args.trunk_only:
+        piece("trunk (conv)", f_trunk, params, images)
+        if args.json:
+            import json
+            import os.path as osp
+
+            os.makedirs(osp.dirname(args.json) or ".", exist_ok=True)
+            with open(args.json, "a") as f:
+                for rec in records:
+                    rec["set"] = args.set_cfgs
+                    f.write(json.dumps(rec) + "\n")
+        return
 
     feats = jax.jit(f_trunk)(params, images)
     rpn_out = jax.jit(f_rpn)(params, feats)
