@@ -130,6 +130,10 @@ __C.NET.RESNET_STRIDE_IN_3X3 = False
 # on the canvas.  Set False when running imported/foreign weights — the
 # reference ProposalLayer scores all anchors (DESIGN.md §8).
 __C.NET.SUPPRESS_UNTRAINABLE_ANCHORS = True
+# RoI-warp realization: "einsum" (hat-matrix matmuls), "gather" (direct
+# 4-tap bilinear gather — ~3x less HBM traffic at inference RoI counts,
+# ops/roi_warp.py), or "pallas".  Identical math; pick by measurement.
+__C.NET.ROI_WARP_IMPL = "einsum"
 # Execute VGG block 1 (conv1_1/conv1_2/pool1) in 2x2 space-to-depth layout:
 # half resolution, 4x channels — exact same math (models/vgg.py
 # _s2d_phase_kernel), but conv1_1's 3-channel contraction goes to 12 and the

@@ -195,6 +195,7 @@ class MNCArch:
                        if cfg.TRAIN.BBOX_NORMALIZE_TARGETS else (1.0,) * 4),
             int8_inference=bool(cfg.TEST.INT8) and not train,
             s2d_block1=bool(cfg.NET.S2D_BLOCK1),
+            roi_warp_impl=str(cfg.NET.ROI_WARP_IMPL),
         )
         kw.update(overrides)
         return cls(**kw)

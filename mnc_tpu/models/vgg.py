@@ -114,11 +114,16 @@ class VGG16Trunk(nn.Module):
     # s8×s8→s32 with dynamic activation scales (ops/quant.py). Inference only.
     int8: bool = False
     # Run block 1 (conv1_1, conv1_2, pool1) in 2×2 space-to-depth layout:
-    # half resolution, 4× channels.  Exact same math (see _s2d_phase_kernel);
-    # conv1_1's 3-channel contraction is MXU-pathological at full resolution
-    # (the 128-lane systolic array runs ~3/128 occupied), and s2d quadruples
-    # the contraction depth while fusing pool1 into a phase-group max.
+    # half resolution, 4× channels.  Exact same math (see _s2d_phase_kernel).
+    # MEASURED NEGATIVE on v5e (STATUS r4): 4.31 vs 3.41 ms/img at batch 16 —
+    # the phase decomposition does 16/9 the dense FLOPs and re-reads the
+    # input per phase, and XLA's full-res conv1 is already compute-bound.
+    # Kept as a documented layout experiment; leave False.
     s2d_block1: bool = False
+    # Profiling hook (tools/profile_net.py --trunk-layers): stop after the
+    # first N ops (each conv+relu, and each pool, counts as one op).  -1 = 18
+    # ops = the full trunk.  Prefix deltas give per-layer device time.
+    prefix_ops: int = -1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -126,6 +131,7 @@ class VGG16Trunk(nn.Module):
         if squeeze:
             x = x[None]
         x = x.astype(self.compute_dtype)
+        ops_left = self.prefix_ops if self.prefix_ops >= 0 else 1 << 30
         start = 0
         if self.s2d_block1 and not self.int8:
             assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, \
@@ -144,6 +150,9 @@ class VGG16Trunk(nn.Module):
             if b < start:
                 continue
             for name, ch in block:
+                if ops_left <= 0:
+                    return x[0] if squeeze else x
+                ops_left -= 1
                 if self.int8:
                     from mnc_tpu.ops.quant import ConvInt8
 
@@ -161,6 +170,9 @@ class VGG16Trunk(nn.Module):
                     )(x)
                 x = nn.relu(x)
             if b < 4:
+                if ops_left <= 0:
+                    return x[0] if squeeze else x
+                ops_left -= 1
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             if b < self.frozen_blocks:
                 x = jax.lax.stop_gradient(x)

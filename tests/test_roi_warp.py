@@ -104,3 +104,39 @@ def test_roi_pool_grad_to_features_only(feat, rois):
     g = jax.grad(loss)(f)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_gather_impl_matches_einsum_values_and_grads(feat, rois):
+    """impl='gather' (the low-HBM-traffic inference path, r4) must agree
+    with the einsum hat-matrix formulation in values AND in gradients to
+    both features and box coordinates."""
+    f = jnp.asarray(feat)
+    r = jnp.asarray(rois) + 0.17  # off the hat kinks
+
+    a = np.asarray(roi_warp(f, r, (7, 7), SCALE))
+    b = np.asarray(roi_warp(f, r, (7, 7), SCALE, impl="gather"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def run(impl):
+        def loss(f_, r_):
+            return jnp.sum(jnp.sin(roi_warp(f_, r_, (7, 7), SCALE, impl=impl)))
+
+        return jax.grad(loss, argnums=(0, 1))(f, r)
+
+    gf_a, gr_a = run("einsum")
+    gf_b, gr_b = run("gather")
+    np.testing.assert_allclose(np.asarray(gf_a), np.asarray(gf_b), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr_a), np.asarray(gr_b), rtol=1e-4, atol=1e-4)
+
+
+def test_gather_impl_edge_rois(feat):
+    """RoIs hanging off the map: gather's clipped taps must be weight-zeroed
+    exactly like the einsum hat weights vanish out of range."""
+    r = jnp.asarray(
+        np.array([[-20.0, -12.0, 30.0, 20.0],          # overlaps top-left
+                  [40.0, 30.0, 90.0, 70.0],             # overlaps bottom-right
+                  [0.0, 0.0, 4 * W - 1.0, 4 * H - 1.0]  # exactly full image
+                  ], np.float32))
+    a = np.asarray(roi_warp(jnp.asarray(feat), r, (7, 7), SCALE))
+    b = np.asarray(roi_warp(jnp.asarray(feat), r, (7, 7), SCALE, impl="gather"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

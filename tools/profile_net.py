@@ -35,6 +35,10 @@ def parse_args():
     ap.add_argument("--trunk-only", action="store_true",
                     help="time only the trunk piece (fast A/B of trunk "
                          "layout knobs like NET.S2D_BLOCK1 / TEST.INT8)")
+    ap.add_argument("--trunk-layers", action="store_true",
+                    help="per-layer trunk breakdown: time each op-prefix of "
+                         "the VGG trunk (17 compiles) and report deltas + "
+                         "per-layer roofline")
     ap.add_argument("--cpu", action="store_true")
     return ap.parse_args()
 
@@ -148,6 +152,37 @@ def main():
     f_bridge = vm(lambda p, r, c, b, i: stage_bridge(r, c, b, i, arch))
     f_post = vm(lambda p, r, v, c, m: postprocess_detections(
         r, v, c, m, post, arch.canvas))
+
+    if args.trunk_layers:
+        from mnc_tpu.models.vgg import _VGG16_BLOCKS, VGG16Trunk
+
+        names = []
+        for b, block in enumerate(_VGG16_BLOCKS):
+            names += [n for n, _ in block]
+            if b < 4:
+                names.append(f"pool{b + 1}")
+        tp = {"params": params["params"]["trunk"]}
+        prev, rows = 0.0, []
+        for k in range(1, len(names) + 1):
+            tk = VGG16Trunk(prefix_ops=k)
+            f = vm(lambda p, x, _tk=tk: _tk.apply(p, x))
+            ms = piece(f"trunk[:{k:2d}] {names[k - 1]}", f, tp, images)
+            rows.append((names[k - 1], ms - prev))
+            prev = ms
+        print("\nper-layer deltas (prefix differences):")
+        for n, d in rows:
+            print(f"  {n:10s} {d:7.3f} ms/img")
+        if args.json:
+            import json
+            import os.path as osp
+
+            os.makedirs(osp.dirname(args.json) or ".", exist_ok=True)
+            with open(args.json, "a") as f:
+                for (n, d), rec in zip(rows, records):
+                    rec["layer_delta_ms"] = round(d, 3)
+                    rec["layer"] = n
+                    f.write(json.dumps(rec) + "\n")
+        return
 
     if args.trunk_only:
         piece("trunk (conv)", f_trunk, params, images)
