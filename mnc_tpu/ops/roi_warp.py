@@ -77,13 +77,15 @@ def _warp_einsum(features: jnp.ndarray, rois: jnp.ndarray, out_hw, spatial_scale
     xc = bin_centers(rois, pw, spatial_scale, axis=1)
     wy = interp_matrix(yc, h)  # (N, PH, H)
     wx = interp_matrix(xc, w)  # (N, PW, W)
-    # (N, PH, H) @ (H, W*C) -> (N, PH, W, C): one big matmul on the MXU.
-    # The intermediate stays in the feature dtype (bf16 on the TPU path) —
-    # it is the largest tensor here and otherwise doubles HBM traffic.
-    tmp = jnp.einsum("nph,hwc->npwc", wy.astype(features.dtype), features,
+    # Contract x FIRST: the (N, H, PW, C) intermediate is the op's HBM
+    # traffic (written + re-read), and H < W on the landscape canvases the
+    # scale rule produces (40 < 64 at 640×1024) — x-first is 37% less
+    # traffic than y-first for identical math.  It stays in the feature
+    # dtype (bf16 on the TPU path); f32 would double the traffic again.
+    tmp = jnp.einsum("nqw,hwc->nhqc", wx.astype(features.dtype), features,
                      preferred_element_type=jnp.float32).astype(features.dtype)
-    # (N, PW, W) x (N, PH, W, C) -> (N, PH, PW, C): batched matmul.
-    out = jnp.einsum("nqw,npwc->npqc", wx.astype(features.dtype), tmp,
+    # (N, PH, H) x (N, H, PW, C) -> (N, PH, PW, C): batched matmul.
+    out = jnp.einsum("nph,nhqc->npqc", wy.astype(features.dtype), tmp,
                      preferred_element_type=jnp.float32)
     return out.astype(features.dtype)
 
