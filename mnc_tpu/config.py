@@ -96,6 +96,13 @@ __C.STATIC.TRAIN_PRE_NMS_TOP_N = 12000
 __C.STATIC.TRAIN_POST_NMS_TOP_N = 2000
 __C.STATIC.TEST_PRE_NMS_TOP_N = 6000
 __C.STATIC.TEST_POST_NMS_TOP_N = 304  # padded 300 (multiple of 8 sublanes)
+# Proposal-NMS tile size for the exact tiled scan (ops/nms.py::nms_tiled).
+# 0 = auto: 512 for train, 256 for test — the measured optima on TPU v5e at
+# the reference working sets (r4 sweep: test 6000 budget 0.25/0.31/0.42
+# ms/img at 256/512/1024; train 12000 budget 0.82/0.66/0.70 at 256/512/1024
+# — smaller tiles cut the O(chunk²) IoU work faster than the longer
+# sequential scan costs, until the scan length dominates).
+__C.STATIC.NMS_CHUNK = 0
 # Max ground-truth instances per image (padded).
 __C.STATIC.MAX_GT = 32
 

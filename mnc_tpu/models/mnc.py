@@ -88,6 +88,8 @@ class MNCArch:
     # proposal-NMS tile size: working sets larger than this use the exact
     # tiled scan (ops/nms.py::nms_tiled) instead of the (K, K) fixpoint,
     # making the reference's 6000/12000 pre-NMS budgets runnable.
+    # from_cfg overrides via STATIC.NMS_CHUNK (0 = measured TPU optima:
+    # 512 train / 256 test — see config.py).
     nms_chunk: int = 1024
     # bbox target normalization constants (folded out at inference/export)
     bbox_means: tuple = (0.0, 0.0, 0.0, 0.0)
@@ -194,6 +196,8 @@ class MNCArch:
             bbox_stds=(tuple(cfg.TRAIN.BBOX_NORMALIZE_STDS)
                        if cfg.TRAIN.BBOX_NORMALIZE_TARGETS else (1.0,) * 4),
             int8_inference=bool(cfg.TEST.INT8) and not train,
+            nms_chunk=(int(cfg.STATIC.NMS_CHUNK)
+                       or (512 if train else 256)),
             s2d_block1=bool(cfg.NET.S2D_BLOCK1),
             roi_warp_impl=str(cfg.NET.ROI_WARP_IMPL),
         )

@@ -91,24 +91,30 @@ def main():
 
     records = []
 
-    def piece(name, fn, *inputs, per_img=True):
-        """Chained-dispatch steady-state timing of one jitted piece."""
+    def piece(name, fn, p, *inputs, per_img=True):
+        """Chained-dispatch steady-state timing of one jitted piece.
+
+        ``p`` (params / train state) is passed EXPLICITLY through jit —
+        closure capture would embed ~0.6 GB of weights as constants in the
+        remote-compile request (HTTP 413 on the tunnel; same rule as
+        profile_net.py).
+        """
 
         @jax.jit
-        def step(carry, *ins):
+        def step(carry, p_, *ins):
             perturbed = [ins[0] + carry * 1e-20] + list(ins[1:])
-            out = fn(*perturbed)
+            out = fn(p_, *perturbed)
             s = sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(out))
             return carry + s * 1e-9
 
         zero = jnp.zeros((), jnp.float32)
-        float(jax.device_get(step(zero, *inputs)))
+        float(jax.device_get(step(zero, p, *inputs)))
 
         def timed(n):
             t0 = time.perf_counter()
             c = zero
             for _ in range(n):
-                c = step(c, *inputs)
+                c = step(c, p, *inputs)
             float(jax.device_get(c))
             return time.perf_counter() - t0
 
@@ -122,7 +128,7 @@ def main():
         line = f"{name:32s} {ms:8.3f} ms/img"
         if args.mfu:
             step_s = (tn - t1) / args.iters
-            flops, byts = _cost_analysis(step.lower(zero, *inputs).compile())
+            flops, byts = _cost_analysis(step.lower(zero, p, *inputs).compile())
             rec.update({
                 "gflop_per_img": round(flops / args.batch / 1e9, 2),
                 "hbm_gb_per_img": round(byts / args.batch / 1e9, 4),
@@ -141,17 +147,17 @@ def main():
     # ---- forward pieces (vmapped over the image batch, like the real step)
     vb = jax.vmap
 
-    def f_trunk(imgs):
-        return vb(lambda x: model.apply(params, x, method=MNC.features))(imgs)
+    def f_trunk(p, imgs):
+        return vb(lambda x: model.apply(p, x, method=MNC.features))(imgs)
 
-    feats = jax.jit(f_trunk)(batch["image"])
+    feats = jax.jit(f_trunk)(params, batch["image"])
 
-    def f_rpn(f):
-        return vb(lambda x: model.apply(params, x, method=MNC.rpn))(f)
+    def f_rpn(p, f):
+        return vb(lambda x: model.apply(p, x, method=MNC.rpn))(f)
 
-    rpn_cls, rpn_bbox = jax.jit(f_rpn)(feats)
+    rpn_cls, rpn_bbox = jax.jit(f_rpn)(params, feats)
 
-    def f_atgt(rc):
+    def f_atgt(p, rc):
         del rc  # timing convention: first arg is perturbed; targets need none
         return vb(lambda gb, gv, ii: T.anchor_targets(
             anchors, gb, gv, (ii[0], ii[1]), jax.random.PRNGKey(0),
@@ -161,12 +167,12 @@ def main():
             fg_fraction=train_cfg["RPN_FG_FRACTION"]))(
                 batch["gt_boxes"], batch["gt_valid"], batch["im_info"])
 
-    def f_prop(rc, rb, ii):
+    def f_prop(p, rc, rb, ii):
         return vb(lambda c, b, i: propose_rois(c, b, i, anchors, arch))(rc, rb, ii)
 
-    rois, roi_valid, _ = jax.jit(f_prop)(rpn_cls, rpn_bbox, batch["im_info"])
+    rois, roi_valid, _ = jax.jit(f_prop)(None, rpn_cls, rpn_bbox, batch["im_info"])
 
-    def f_ptgt(r, v):
+    def f_ptgt(p, r, v):
         return vb(lambda r_, v_, gb, gc, gv, gm: T.proposal_targets(
             r_, v_, gb, gc, gv, gm, jax.random.PRNGKey(0),
             roi_batch=train_cfg["BATCH_SIZE"],
@@ -178,19 +184,19 @@ def main():
                 r, v, batch["gt_boxes"], batch["gt_classes"],
                 batch["gt_valid"], batch["gt_masks"])
 
-    tgt = jax.jit(f_ptgt)(rois, roi_valid)
+    tgt = jax.jit(f_ptgt)(None, rois, roi_valid)
 
-    def f_roipass(f, r):
+    def f_roipass(p, f, r):
         def one(f_, r_):
-            rf = model.apply(params, f_, r_, method=MNC.warp)
-            ml = model.apply(params, rf, method=MNC.mask_stage)
-            return model.apply(params, rf, ml, method=MNC.classify_stage)
+            rf = model.apply(p, f_, r_, method=MNC.warp)
+            ml = model.apply(p, rf, method=MNC.mask_stage)
+            return model.apply(p, rf, ml, method=MNC.classify_stage)
 
         return vb(one)(f, r)
 
-    cls_logits, bbox_pred = jax.jit(f_roipass)(feats, tgt.rois)
+    cls_logits, bbox_pred = jax.jit(f_roipass)(params, feats, tgt.rois)
 
-    def f_bridge(cl, bp):
+    def f_bridge(p, cl, bp):
         cp = jax.nn.softmax(cl, axis=-1)
         r2 = vb(lambda r_, c_, b_, i_: stage_bridge(
             r_, c_, b_, i_, arch, bbox_pred_normalized=True))(
@@ -203,52 +209,63 @@ def main():
                 batch["gt_valid"], batch["gt_masks"])
 
     fwd_total = 0.0
-    fwd_total += piece("trunk fwd", f_trunk, batch["image"])
-    fwd_total += piece("rpn head fwd", f_rpn, feats)
-    fwd_total += piece("anchor_targets", f_atgt, rpn_cls)
-    fwd_total += piece("propose (tiled NMS)", f_prop, rpn_cls, rpn_bbox,
+    fwd_total += piece("trunk fwd", f_trunk, params, batch["image"])
+    fwd_total += piece("rpn head fwd", f_rpn, params, feats)
+    fwd_total += piece("anchor_targets", f_atgt, None, rpn_cls)
+    fwd_total += piece("propose (tiled NMS)", f_prop, None, rpn_cls, rpn_bbox,
                        batch["im_info"])
-    fwd_total += piece("proposal_targets", f_ptgt, rois, roi_valid)
-    fwd_total += piece("roi pass fwd (warp+mask+cls)", f_roipass, feats, tgt.rois)
-    fwd_total += piece("bridge + reassign_targets", f_bridge, cls_logits, bbox_pred)
+    fwd_total += piece("proposal_targets", f_ptgt, None, rois, roi_valid)
+    fwd_total += piece("roi pass fwd (warp+mask+cls)", f_roipass, params,
+                       feats, tgt.rois)
+    fwd_total += piece("bridge + reassign_targets", f_bridge, None,
+                       cls_logits, bbox_pred)
     print(f"{'sum fwd pieces (1 roi pass)':32s} {fwd_total:8.3f} ms/img")
 
     # ---- whole-step attribution
     step_unjit = build_train_step(model, tx, arch, train_cfg)
     state0 = TrainState.create(params, tx)
 
-    def f_full(imgs):
+    def f_full(st, imgs):
         b2 = dict(batch, image=imgs)
-        s, m = step_unjit(state0, b2, key)
-        return m["total"]
+        s2, m = step_unjit(st, b2, key)
+        # Return the UPDATED PARAMS too — returning only the loss lets XLA
+        # dead-code-eliminate the entire backward+update (caught r4: "bwd"
+        # then measures 0.18 ms/img, impossibly small).  The timing loop's
+        # consume-sum of the returned tree adds a ~0.6 GB param read
+        # (~0.09 ms/img at batch 8) — accepted, noted in STATUS.
+        return s2.params, m["total"]
 
-    def f_lossfwd(imgs):
+    def f_lossfwd(p, imgs):
         b2 = dict(batch, image=imgs)
         import mnc_tpu.train.loop as L
 
         def lf(bt, k):
-            return L.mnc_loss(params, model, bt, k, arch, anchors, train_cfg)[0]
+            return L.mnc_loss(p, model, bt, k, arch, anchors, train_cfg)[0]
 
         return jnp.mean(vb(lf)(b2, jax.random.split(key, args.batch)))
 
-    full_ms = piece("FULL train step (fwd+bwd+sgd)", f_full, batch["image"])
+    full_ms = piece("FULL train step (fwd+bwd+sgd)", f_full, state0,
+                    batch["image"])
     if not args.skip_variants:
-        fwd_ms = piece("loss forward only", f_lossfwd, batch["image"])
+        fwd_ms = piece("loss forward only", f_lossfwd, params, batch["image"])
         arch3 = MNCArch.from_cfg(train=True, n_stages=3, **over)
         step3 = build_train_step(MNC(arch=arch3), tx, arch3, train_cfg)
 
-        def f_full3(imgs):
-            return step3(state0, dict(batch, image=imgs), key)[1]["total"]
+        def f_full3(st, imgs):
+            s2, m = step3(st, dict(batch, image=imgs), key)
+            return s2.params, m["total"]
 
-        ms3 = piece("full step, 3-stage", f_full3, batch["image"])
+        ms3 = piece("full step, 3-stage", f_full3, state0, batch["image"])
         small = dict(pre_nms_top_n=2048, post_nms_top_n=512)
         arch_s = MNCArch.from_cfg(train=True, n_stages=5, **{**over, **small})
         step_s = build_train_step(MNC(arch=arch_s), tx, arch_s, train_cfg)
 
-        def f_full_small(imgs):
-            return step_s(state0, dict(batch, image=imgs), key)[1]["total"]
+        def f_full_small(st, imgs):
+            s2, m = step_s(st, dict(batch, image=imgs), key)
+            return s2.params, m["total"]
 
-        ms_small = piece("full step, 2048/512 budget", f_full_small, batch["image"])
+        ms_small = piece("full step, 2048/512 budget", f_full_small, state0,
+                         batch["image"])
         print(f"\nattribution (ms/img of the {full_ms:.1f} full step):")
         print(f"  backward+update      {full_ms - fwd_ms:8.3f}  (full − loss-fwd)")
         print(f"  second cascade pass  {full_ms - ms3:8.3f}  (full − 3-stage)")
