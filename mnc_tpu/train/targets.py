@@ -46,14 +46,22 @@ class RoiTargets(NamedTuple):
     mask_weight: jnp.ndarray  # (B,) 1.0 for fg
 
 
-def _random_rank(key, eligible: jnp.ndarray) -> jnp.ndarray:
-    """Rank of each eligible element in a random permutation of the eligible
-    set (ineligible elements get rank >= #eligible)."""
+def _random_keep(key, eligible: jnp.ndarray, quota, max_quota: int) -> jnp.ndarray:
+    """``eligible & (rank-in-random-permutation(eligible) < quota)``.
+
+    Selection identical to ranking a full argsort of uniform keys (ties
+    break to the lower index in both ``jnp.argsort`` and ``lax.top_k``) but
+    via a top-k of the static bound ``max_quota`` — a full (K,) sort over
+    the ~23k-anchor grid was ~0.4 ms/img of the reference-budget train
+    step for a ≤256-element selection.  ``quota`` may be traced;
+    ``max_quota`` is its static upper bound.
+    """
     r = jax.random.uniform(key, eligible.shape)
     r = jnp.where(eligible, r, 2.0)  # push ineligible to the back
-    order = jnp.argsort(r)
-    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    return ranks
+    k = min(int(max_quota), r.shape[0])
+    _, idx = jax.lax.top_k(-r, k)  # k smallest r, rank order
+    keep = jnp.zeros(r.shape, bool).at[idx].set(jnp.arange(k) < quota)
+    return keep & eligible
 
 
 def anchor_targets(
@@ -108,11 +116,9 @@ def anchor_targets(
 
     k_pos, k_neg = jax.random.split(key)
     num_fg = int(batch_size * fg_fraction)
-    pos_rank = _random_rank(k_pos, pos)
-    pos_keep = pos & (pos_rank < num_fg)
+    pos_keep = _random_keep(k_pos, pos, num_fg, num_fg)
     n_pos = jnp.sum(pos_keep)
-    neg_rank = _random_rank(k_neg, neg)
-    neg_keep = neg & (neg_rank < batch_size - n_pos)
+    neg_keep = _random_keep(k_neg, neg, batch_size - n_pos, batch_size)
     n_tot = n_pos + jnp.sum(neg_keep)
 
     labels = jnp.where(pos_keep, 1, jnp.where(neg_keep, 0, -1)).astype(jnp.int32)
@@ -185,9 +191,9 @@ def proposal_targets(
 
     k_fg, k_bg = jax.random.split(key)
     fg_quota = int(round(roi_batch * fg_fraction))
-    fg_keep = fg & (_random_rank(k_fg, fg) < fg_quota)
+    fg_keep = _random_keep(k_fg, fg, fg_quota, fg_quota)
     n_fg = jnp.sum(fg_keep)
-    bg_keep = bg & (_random_rank(k_bg, bg) < roi_batch - n_fg)
+    bg_keep = _random_keep(k_bg, bg, roi_batch - n_fg, roi_batch)
 
     # Gather the kept rois into a dense (roi_batch,) block: priority fg > bg.
     sel_key = jnp.where(fg_keep, 2.0, jnp.where(bg_keep, 1.0, 0.0))

@@ -226,3 +226,32 @@ def test_train_step_with_empty_gt():
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total"]))
     assert float(metrics["s23_mask"]) == 0.0  # no fg → no mask loss
+
+
+def test_random_keep_equals_argsort_rank():
+    """The top_k-based subsample selection (train/targets.py::_random_keep)
+    must pick EXACTLY the same elements as the original full-argsort rank
+    formulation — same uniform keys, same lowest-index tie-break — so the
+    r4 speedup cannot change any training draw."""
+    from mnc_tpu.train.targets import _random_keep
+
+    def argsort_keep(key, eligible, quota):
+        r = jax.random.uniform(key, eligible.shape)
+        r = jnp.where(eligible, r, 2.0)
+        order = jnp.argsort(r)
+        ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        return eligible & (ranks < quota)
+
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        n = int(rng.choice([5, 64, 257, 2048]))
+        max_q = int(rng.choice([1, 16, 128, 256]))
+        quota = int(rng.randint(0, max_q + 1))
+        # eligibility mixes dense, sparse, and empty cases
+        p = [1.0, 0.5, 0.05, 0.0][trial % 4]
+        eligible = jnp.asarray(rng.rand(n) < p)
+        key = jax.random.PRNGKey(trial)
+        got = _random_keep(key, eligible, quota, max_q)
+        want = argsort_keep(key, eligible, quota)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert int(jnp.sum(got)) == min(quota, int(jnp.sum(eligible)))
