@@ -112,10 +112,17 @@ class TrainLoader:
 
     def __init__(self, imdb: IMDB, max_gt=None, canvas_hw=None, gt_mask_size=28,
                  ims_per_batch=1, use_flipped=None, seed=3, prefetch=4,
-                 synthetic=None):
+                 synthetic=None, segdb_dir=None, seg_top_k=64,
+                 seg_mask_size=None):
         self.imdb = imdb
         self.roidb = imdb.roidb()
         self.maskdb = imdb.maskdb()
+        # CFM training: per-image precomputed segment proposals
+        # (tools/prepare_mcg_maskdb.py pkl format, original-image coords)
+        self.segdb_dir = segdb_dir
+        self.seg_top_k = seg_top_k
+        self.seg_mask_size = seg_mask_size or int(cfg.MASK_SIZE)
+        self._seg_cache: dict = {}
         self.max_gt = max_gt or cfg.STATIC.MAX_GT
         self.canvas_hw = canvas_hw or tuple(cfg.STATIC.CANVAS)
         self.gt_mask_size = gt_mask_size
@@ -151,9 +158,58 @@ class TrainLoader:
                 entry["width"] = width  # cache for subsequent epochs
             entry, masks = IMDB.flip_entry(dict(entry, flipped=False), masks, width)
             entry["flipped"] = True
-        return make_example(self.imdb, entry, masks, i, self.max_gt,
-                            self.canvas_hw, self.gt_mask_size,
-                            synthetic=self.synthetic)
+        ex = make_example(self.imdb, entry, masks, i, self.max_gt,
+                          self.canvas_hw, self.gt_mask_size,
+                          synthetic=self.synthetic)
+        if self.segdb_dir is not None:
+            ex.update(self._segments(i, flipped, entry,
+                                     scale=float(ex["im_info"][2])))
+        return ex
+
+    def _segments(self, i: int, flipped: bool, entry: dict, scale: float) -> dict:
+        """Fixed-shape segment-proposal arrays for CFM training.
+
+        pkl boxes are original-image coords → scaled to the canvas; flipped
+        copies mirror boxes about the original width (+1 convention, as
+        ``IMDB.flip_entry``) and reverse mask x.
+        """
+        import os.path as osp
+        import pickle
+
+        if i not in self._seg_cache:
+            image_id = self.imdb.image_index[i]
+            path = osp.join(self.segdb_dir, f"{image_id}.pkl")
+            if not osp.exists(path):
+                raise FileNotFoundError(
+                    f"segdb: no segment proposals for image {image_id!r} "
+                    f"({path} missing) — run tools/prepare_mcg_maskdb.py "
+                    f"over the full image list first")
+            with open(path, "rb") as f:
+                self._seg_cache[i] = pickle.load(f)
+        rec = self._seg_cache[i]
+
+        k, s = self.seg_top_k, self.seg_mask_size
+        nseg = min(len(rec["boxes"]), k)
+        boxes = np.zeros((k, 4), np.float32)
+        masks = np.zeros((k, s, s), np.float32)
+        valid = np.zeros((k,), bool)
+        boxes[:nseg] = np.asarray(rec["boxes"][:nseg], np.float32)
+        src = np.asarray(rec["masks"][:nseg], np.float32)
+        if nseg and src.shape[-1] != s:
+            import cv2
+
+            src = np.stack([cv2.resize(m, (s, s), interpolation=cv2.INTER_AREA)
+                            for m in src])
+        masks[:nseg] = src
+        valid[:nseg] = True
+        if flipped:
+            width = entry.get("width") or self.canvas_hw[1]
+            x1 = boxes[:nseg, 0].copy()
+            boxes[:nseg, 0] = width - boxes[:nseg, 2] - 1
+            boxes[:nseg, 2] = width - x1 - 1
+            masks[:nseg] = masks[:nseg, :, ::-1]
+        boxes[:nseg] *= scale
+        return {"seg_boxes": boxes, "seg_masks": masks, "seg_valid": valid}
 
     def _batch(self) -> dict:
         exs = [self._make(*self._next_index()) for _ in range(self.ims_per_batch)]

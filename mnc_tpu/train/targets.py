@@ -245,3 +245,83 @@ def reassign_targets(
     m_targets = intersect_mask(rois, mboxes, gt_masks[arg], mask_size)
     m_targets = jnp.where(fg[:, None, None], m_targets, 0.0)
     return RoiTargets(rois, labels, bbox_targets, w, m_targets, w)
+
+
+class CfmTargets(NamedTuple):
+    rois: jnp.ndarray  # (B, 4) sampled segment boxes
+    labels: jnp.ndarray  # (B,) int32 ∈ {-1 pad, 0 bg, 1..C-1 fg class}
+    bbox_targets: jnp.ndarray  # (B, 4) normalized deltas to matched gt
+    bbox_weight: jnp.ndarray  # (B,) 1.0 for fg
+    seg_masks: jnp.ndarray  # (B, S, S) each sample's OWN segment mask (input)
+
+
+def cfm_targets(
+    seg_boxes: jnp.ndarray,
+    seg_masks: jnp.ndarray,
+    seg_valid: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    key: jax.Array,
+    roi_batch: int = 128,
+    fg_fraction: float = 0.25,
+    fg_thresh: float = 0.5,
+    bg_thresh_hi: float = 0.5,
+    bg_thresh_lo: float = 0.0,
+    bbox_means=(0.0, 0.0, 0.0, 0.0),
+    bbox_stds=(0.1, 0.1, 0.2, 0.2),
+) -> CfmTargets:
+    """Training sample for the CFM path (SURVEY §3.5): label PRECOMPUTED
+    segment proposals instead of RPN proposals.
+
+    ≙ ProposalTargetLayer semantics (``lib/pylayer/proposal_target_layer.py``)
+    applied to an MCG segment pool: gt instances are appended to the pool
+    (each carrying its own full mask, resampled to the segment mask size),
+    fg = box-IoU ≥ fg_thresh with class = matched gt's class, bg ∈
+    [bg_thresh_lo, bg_thresh_hi), fixed fg quota + bg fill, NORMALIZED bbox
+    regression deltas.  Unlike :func:`proposal_targets` there are no mask
+    TARGETS — the segment's own mask rides along as the mask-pooling INPUT
+    (``models/cfm.py``); the mask head is not trained in CFM mode.
+
+    ⚠ The reference tree's exact CFM labeling rule (box IoU vs segment-mask
+    IoU) is unverifiable here (empty mount); box IoU matches this repo's
+    fixtured ProposalTargetLayer convention and the CFM paper's box-level
+    sampling is the documented fallback.
+    """
+    s = seg_masks.shape[-1]
+    # gt instances join the pool with their own full masks in gt-box frame
+    gt_self_masks = intersect_mask(gt_boxes, gt_boxes, gt_masks, s)
+    all_rois = jnp.concatenate([seg_boxes, gt_boxes], axis=0)
+    all_masks = jnp.concatenate([seg_masks, gt_self_masks], axis=0)
+    all_valid = jnp.concatenate([seg_valid, gt_valid], axis=0)
+    if all_rois.shape[0] < roi_batch:  # tiny configs: pad the pool itself
+        pad = roi_batch - all_rois.shape[0]
+        all_rois = jnp.concatenate([all_rois, jnp.zeros((pad, 4))], axis=0)
+        all_masks = jnp.concatenate([all_masks, jnp.zeros((pad, s, s))], axis=0)
+        all_valid = jnp.concatenate([all_valid, jnp.zeros((pad,), bool)], axis=0)
+
+    max_ov, arg, mboxes, mcls, fg = _assign(all_rois, gt_boxes, gt_classes,
+                                            gt_valid, fg_thresh)
+    fg = fg & all_valid
+    bg = all_valid & (max_ov < bg_thresh_hi) & (max_ov >= bg_thresh_lo) & ~fg
+
+    k_fg, k_bg = jax.random.split(key)
+    fg_quota = int(round(roi_batch * fg_fraction))
+    fg_keep = _random_keep(k_fg, fg, fg_quota, fg_quota)
+    n_fg = jnp.sum(fg_keep)
+    bg_keep = _random_keep(k_bg, bg, roi_batch - n_fg, roi_batch)
+
+    sel_key = jnp.where(fg_keep, 2.0, jnp.where(bg_keep, 1.0, 0.0))
+    _, idx = jax.lax.top_k(sel_key, roi_batch)
+    picked_fg = fg_keep[idx]
+    picked_bg = bg_keep[idx]
+
+    s_rois = all_rois[idx]
+    labels = jnp.where(picked_fg, mcls[idx],
+                       jnp.where(picked_bg, 0, -1)).astype(jnp.int32)
+    deltas = bbox_transform(s_rois, mboxes[idx])
+    deltas = (deltas - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
+    bbox_targets = jnp.where(picked_fg[:, None], deltas, 0.0)
+    bbox_weight = picked_fg.astype(jnp.float32)
+    return CfmTargets(s_rois, labels, bbox_targets, bbox_weight, all_masks[idx])

@@ -28,6 +28,13 @@ def parse_args():
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--gt-mask-size", type=int, default=28)
+    ap.add_argument("--segdb", default=None,
+                    help="CFM training mode: dir of per-image segment-proposal "
+                         "pkls (tools/prepare_mcg_maskdb.py). Trains trunk + "
+                         "classify head on precomputed segments — no RPN / "
+                         "mask-head losses (SURVEY §3.5)")
+    ap.add_argument("--seg-top-k", type=int, default=64,
+                    help="--segdb: segment proposals kept per image (padded)")
     return ap.parse_args()
 
 
@@ -151,6 +158,8 @@ def main():
 
     ims_per_batch = args.ims_per_batch or cfg.TRAIN.IMS_PER_BATCH
     n_dev = len(jax.devices())
+    if args.segdb and args.dp:
+        raise SystemExit("--segdb (CFM training) does not support --dp yet")
     if args.dp and n_dev > 1:
         from mnc_tpu.parallel import (
             data_parallel_train_step, make_mesh, replicate, shard_batch)
@@ -164,12 +173,20 @@ def main():
         state = replicate(state, mesh)
         to_device = lambda b: shard_batch(b, mesh)  # noqa: E731
         print(f"data parallel over {n_dev} devices, batch {ims_per_batch}")
+    elif args.segdb:
+        from mnc_tpu.models.cfm import make_cfm_train_step
+
+        step_fn = make_cfm_train_step(model, tx, arch, train_cfg)
+        to_device = lambda b: jax.tree.map(jnp.asarray, b)  # noqa: E731
+        print(f"CFM training on segment proposals from {args.segdb} "
+              f"(top {args.seg_top_k}/image; no RPN / mask-head losses)")
     else:
         step_fn = make_train_step(model, tx, arch, train_cfg)
         to_device = lambda b: jax.tree.map(jnp.asarray, b)  # noqa: E731
 
     loader = TrainLoader(imdb, canvas_hw=arch.canvas, ims_per_batch=ims_per_batch,
-                         gt_mask_size=args.gt_mask_size, seed=seed)
+                         gt_mask_size=args.gt_mask_size, seed=seed,
+                         segdb_dir=args.segdb, seg_top_k=args.seg_top_k)
     logger = MetricsLogger(osp.join(out_dir, "train_metrics.jsonl"))
     timer = Timer()
     key = jax.random.PRNGKey(seed)
