@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--only", default=None,
                     help="single 'dets,votek' config per process")
     ap.add_argument("--pre-nms", type=int, default=1024)
+    ap.add_argument("--mask-size", type=int, default=21,
+                    help="MASK_SIZE the checkpoint was trained with (28 for "
+                         "the mnc_5stage_best recipe)")
     ap.add_argument("--anchor-scales", type=int, nargs="*", default=None,
                     help="must match the --params checkpoint's anchors "
                          "(default (8,16,32))")
@@ -65,7 +68,8 @@ def main():
             canvas=(640, 1024),
             anchor_scales=tuple(args.anchor_scales or (8, 16, 32)),
             num_classes=6,
-            mask_size=21, warp_hw=14, n_stages=5, fc_dim=4096, mask_fc_dim=256,
+            mask_size=args.mask_size, warp_hw=14, n_stages=5, fc_dim=4096,
+            mask_fc_dim=256,
             pre_nms_top_n=args.pre_nms, post_nms_top_n=304, rpn_min_size=16.0,
             trunk_frozen=0,
         )
