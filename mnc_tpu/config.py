@@ -243,6 +243,11 @@ __C.TEST.U8_TRANSFER = True
 # Example: ((480, 640), (512, 864))
 __C.TEST.CANVAS_BUCKETS = ()
 __C.TEST.MAX_PER_IMAGE = 100
+# Canvas paste-back implementation: "auto" = XLA einsum (measured fastest —
+# XLA fuses the binarize into the einsum epilogue, so the feared (K, H, W)
+# HBM round-trip does not exist); "pallas" forces the fused VMEM kernel
+# (ops/pallas/paste_kernel.py — validated non-default for future chips).
+__C.TEST.PASTE_IMPL = "auto"
 # int8 MXU inference (beyond-reference; ops/quant.py): trunk convs +
 # fc6/fc7/fc_mask run s8xs8->s32 with dynamic activation scales and
 # per-channel weight scales quantized from the unchanged float params.

@@ -96,11 +96,33 @@ def mask_overlap(masks_a: jnp.ndarray, masks_b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1.0)
 
 
+def _paste_axis_weights(lo, hi, m, out_len):
+    """(N, out_len, M) hat weights mapping M mask samples onto canvas pixels
+    [0, out_len) for boxes spanning [lo, hi] — shared by the einsum and
+    Pallas paste implementations so every geometric convention is identical.
+    """
+    span = hi - lo + 1.0
+    t = (jnp.arange(out_len, dtype=jnp.float32) - lo[:, None] + 0.5) / span[:, None]
+    coord = t * m - 0.5  # (N, out_len)
+    wmat = interp_matrix(coord, m)  # (N, out_len, M)
+    inside = (t >= 0.0) & (t < 1.0)
+    # Clamp edge samples (reference resize replicates edges inside the box).
+    wsum = jnp.sum(wmat, axis=-1, keepdims=True)
+    edge = jnp.argmin(jnp.abs(coord[..., None] - jnp.arange(m)[None, None, :]), axis=-1)
+    wmat = jnp.where(
+        (wsum > 0.0) | ~inside[..., None],
+        wmat,
+        jax.nn.one_hot(edge, m, dtype=jnp.float32),
+    )
+    return wmat * inside[..., None].astype(jnp.float32)
+
+
 def paste_masks(
     masks: jnp.ndarray,
     boxes: jnp.ndarray,
     canvas_hw: tuple[int, int],
     binarize_thresh: float | None = None,
+    impl: str = "einsum",
 ) -> jnp.ndarray:
     """Unmold predicted masks into the full-resolution canvas.
 
@@ -112,33 +134,23 @@ def paste_masks(
       masks: (N, M, M) soft masks in box frame.
       boxes: (N, 4) image-coordinate boxes.
       canvas_hw: static (H, W) output size.
-      binarize_thresh: if set, returns {0,1} float via > thresh
+      binarize_thresh: if set, returns bool via > thresh
         (reference BINARIZE_THRESH = 0.4).
+      impl: "einsum" (XLA; the canvas product round-trips HBM) or "pallas"
+        (fused binarize kernel, TPU; requires binarize_thresh).
 
-    Returns (N, H, W) float32.
+    Returns (N, H, W) float32 (or bool when binarized).
     """
     h, w = canvas_hw
     m = masks.shape[-1]
 
-    # For each canvas pixel, its source coordinate in the M×M mask frame.
-    def axis_weights(lo, hi, size, out_len):
-        span = hi - lo + 1.0
-        t = (jnp.arange(out_len, dtype=jnp.float32) - lo[:, None] + 0.5) / span[:, None]
-        coord = t * m - 0.5  # (N, out_len)
-        wmat = interp_matrix(coord, m)  # (N, out_len, M)
-        inside = (t >= 0.0) & (t < 1.0)
-        # Clamp edge samples (reference resize replicates edges inside the box).
-        wsum = jnp.sum(wmat, axis=-1, keepdims=True)
-        edge = jnp.argmin(jnp.abs(coord[..., None] - jnp.arange(m)[None, None, :]), axis=-1)
-        wmat = jnp.where(
-            (wsum > 0.0) | ~inside[..., None],
-            wmat,
-            jax.nn.one_hot(edge, m, dtype=jnp.float32),
-        )
-        return wmat * inside[..., None].astype(jnp.float32)
+    wy = _paste_axis_weights(boxes[:, 1], boxes[:, 3], m, h)  # (N, H, M)
+    wx = _paste_axis_weights(boxes[:, 0], boxes[:, 2], m, w)  # (N, W, M)
+    if impl == "pallas" and binarize_thresh is not None:
+        from mnc_tpu.ops.pallas.paste_kernel import paste_binarize_pallas
 
-    wy = axis_weights(boxes[:, 1], boxes[:, 3], m, h)  # (N, H, M)
-    wx = axis_weights(boxes[:, 0], boxes[:, 2], m, w)  # (N, W, M)
+        return paste_binarize_pallas(
+            wy, masks, jnp.swapaxes(wx, -1, -2), binarize_thresh)
     if binarize_thresh is not None:
         # Binarized path: the (N, H, W) product only feeds a `> thresh`
         # compare — mask values are in [0, 1] and bf16 error (~4e-3) is far

@@ -49,6 +49,16 @@ class PostCfg:
     score_thresh: float = 0.0  # candidates below are dropped (CONF at demo time)
     paste: bool = True  # fuse full-canvas paste-back into the program
     binarize_thresh: float = 0.4  # cfg.BINARIZE_THRESH
+    # TEST.PASTE_IMPL: "auto" = the XLA einsum — measured fastest on v5e
+    # (0.86 ms vs 0.91–1.02 ms for every kernel variant at K=100/640×1024)
+    # because XLA already fuses the binarize into the einsum epilogue (cost
+    # analysis: 91 MB accessed, not the feared 260 MB round-trip).  "pallas"
+    # forces the fused VMEM kernel (ops/pallas/paste_kernel.py) — a
+    # validated non-default for future chips/canvases.
+    paste_impl: str = "auto"
+
+    def resolved_paste_impl(self) -> str:
+        return "einsum" if self.paste_impl == "auto" else self.paste_impl
 
     @classmethod
     def from_cfg(cls, **over) -> "PostCfg":
@@ -62,6 +72,7 @@ class PostCfg:
             mask_merge_iou=cfg.TEST.MASK_MERGE_IOU_THRESH,
             vote_boxes=bool(cfg.TEST.VOTE_BOXES),
             binarize_thresh=cfg.BINARIZE_THRESH,
+            paste_impl=str(cfg.TEST.PASTE_IMPL),
         )
         kw.update(over)
         return cls(**kw)
@@ -133,7 +144,9 @@ def postprocess_detections(
     }
     if post.paste and canvas_hw is not None:
         out["canvas_masks"] = paste_masks(
-            out["masks"], out["boxes"], canvas_hw, binarize_thresh=post.binarize_thresh
+            out["masks"], out["boxes"], canvas_hw,
+            binarize_thresh=post.binarize_thresh,
+            impl=post.resolved_paste_impl(),
         )
     return out
 

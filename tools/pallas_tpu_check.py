@@ -128,7 +128,43 @@ def main():
     results["nms_ms_fixpoint"] = round(tf * 1e3, 3)
     results["nms_ms_pallas"] = round(tp2 * 1e3, 3)
 
-    ok = ok_warp and same
+    # ---- fused paste+binarize at the production shape ----
+    from mnc_tpu.ops.masks import paste_masks
+
+    kd, m, canvas = 100, 28, (640, 1024)
+    soft = jnp.asarray(rs.uniform(size=(kd, m, m)).astype(np.float32))
+    px1 = rs.uniform(0, 900, kd)
+    py1 = rs.uniform(0, 550, kd)
+    pboxes = np.stack([px1, py1, px1 + rs.uniform(16, 300, kd),
+                       py1 + rs.uniform(16, 200, kd)], 1).astype(np.float32)
+    pboxes = jnp.asarray(pboxes)
+
+    pe = jax.jit(lambda s, b: paste_masks(s, b, canvas, 0.4, impl="einsum"))
+    pp = jax.jit(lambda s, b: paste_masks(s, b, canvas, 0.4, impl="pallas"))
+    b1 = jax.device_get(pe(soft, pboxes))
+    b2 = jax.device_get(pp(soft, pboxes))
+    # the einsum path binarizes a bf16 product, the kernel an f32 one —
+    # disagreement is only legal within bf16 eps of the 0.4 threshold
+    mism = float((b1 != b2).mean())
+    print(f"paste pallas-vs-einsum bool mismatch frac={mism:.2e} "
+          f"(bf16-vs-f32 threshold pixels only)")
+    results["paste_mismatch_frac"] = mism
+    ok_paste = mism < 1e-3
+
+    def paste_e(s, b, carry_in):
+        return pe(s + carry_in * 1e-20, b)
+
+    def paste_p(s, b, carry_in):
+        return pp(s + carry_in * 1e-20, b)
+
+    tpe = chain_time(paste_e, (soft, pboxes), args.iters, consume)
+    tpp = chain_time(paste_p, (soft, pboxes), args.iters, consume)
+    print(f"paste einsum {tpe * 1e3:.3f} ms   pallas {tpp * 1e3:.3f} ms "
+          f"(K={kd}, {m}x{m} -> {canvas[0]}x{canvas[1]})")
+    results["paste_ms_einsum"] = round(tpe * 1e3, 3)
+    results["paste_ms_pallas"] = round(tpp * 1e3, 3)
+
+    ok = ok_warp and same and ok_paste
     results["ok"] = ok
     print(json.dumps(results))
     raise SystemExit(0 if ok else 1)
