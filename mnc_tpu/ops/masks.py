@@ -43,6 +43,9 @@ def crop_resize_from_canvas(
     xc = _box_grid_centers(boxes, out_size, axis=1)
     wy = interp_matrix(yc, h)  # (N, M, H)
     wx = interp_matrix(xc, w)  # (N, M, W)
+    # Materialize the hats — XLA otherwise refuses them into the einsum and
+    # recomputes per tile (0.47 → 0.27 ms at N=64 over 640×1024, bit-exact).
+    wy, wx = jax.lax.optimization_barrier((wy, wx))
     return jnp.einsum("nph,nhw,nqw->npq", wy, canvas_masks.astype(jnp.float32), wx, precision="highest")
 
 
@@ -146,6 +149,13 @@ def paste_masks(
 
     wy = _paste_axis_weights(boxes[:, 1], boxes[:, 3], m, h)  # (N, H, M)
     wx = _paste_axis_weights(boxes[:, 0], boxes[:, 2], m, w)  # (N, W, M)
+    # Force the hat matrices to materialize.  Without the barrier XLA fuses
+    # the whole hat construction (incl. the argmin/one_hot edge machinery)
+    # INTO the canvas einsum and recomputes it per output tile: measured
+    # 0.68–0.80 ms for the K=100 640×1024 paste vs 0.17 ms with the barrier
+    # (v5e, docs/results/paste_kernel_r4.jsonl) — a 4× win for ~18 MB of
+    # extra HBM.  Output is bit-identical.
+    wy, wx = jax.lax.optimization_barrier((wy, wx))
     if impl == "pallas" and binarize_thresh is not None:
         from mnc_tpu.ops.pallas.paste_kernel import paste_binarize_pallas
 
