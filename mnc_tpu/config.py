@@ -243,6 +243,11 @@ __C.TEST.U8_TRANSFER = True
 # Example: ((480, 640), (512, 864))
 __C.TEST.CANVAS_BUCKETS = ()
 __C.TEST.MAX_PER_IMAGE = 100
+# Voting mask-resample implementation: "einsum" = per-pair hat matmuls
+# (fastest on TPU); "gather" = separable 2-tap take_along_axis — same math
+# to f32 rounding but 30x SLOWER on v5e (serial dynamic gathers); it exists
+# for gather-friendly backends and as an independent exactness oracle.
+__C.TEST.VOTE_IMPL = "einsum"
 # Canvas paste-back implementation: "auto" = XLA einsum (measured fastest —
 # XLA fuses the binarize into the einsum epilogue, so the feared (K, H, W)
 # HBM round-trip does not exist); "pallas" forces the fused VMEM kernel

@@ -51,6 +51,62 @@ def _resample_to_frame(mask: jnp.ndarray, src_box: jnp.ndarray, dst_box: jnp.nda
                       precision="highest")
 
 
+def _frame_coords_batched(dst_boxes: jnp.ndarray, src_boxes: jnp.ndarray, m: int):
+    """Batched :func:`_frame_coords`: dst (..., 4) × src (..., 4) →
+    (cy, cx) each (..., M), broadcasting leading dims."""
+    grid = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+
+    def axis(lo_d, hi_d, lo_s, hi_s):
+        span_d = hi_d - lo_d + 1.0
+        span_s = jnp.maximum(hi_s - lo_s + 1.0, 1.0)
+        img = lo_d[..., None] + grid * span_d[..., None]
+        return (img - lo_s[..., None]) / span_s[..., None] * m - 0.5
+
+    cy = axis(dst_boxes[..., 1], dst_boxes[..., 3],
+              src_boxes[..., 1], src_boxes[..., 3])
+    cx = axis(dst_boxes[..., 0], dst_boxes[..., 2],
+              src_boxes[..., 0], src_boxes[..., 2])
+    return cy, cx
+
+
+def _lerp_taps(coords: jnp.ndarray, size: int):
+    """2-tap hat sampling: ((idx_lo, w_lo), (idx_hi, w_hi)) for coords (...).
+
+    A hat-matrix row (:func:`interp_matrix`) has at most two nonzeros — the
+    floor/ceil taps with weights (1-f, f) — and vanishes for taps outside
+    [0, size).  Identical math to the matrix, without building it.
+    """
+    lo = jnp.floor(coords)
+    f = coords - lo
+    lo_i = lo.astype(jnp.int32)
+    w_lo = jnp.where((lo_i >= 0) & (lo_i < size), 1.0 - f, 0.0)
+    w_hi = jnp.where((lo_i + 1 >= 0) & (lo_i + 1 < size), f, 0.0)
+    return ((jnp.clip(lo_i, 0, size - 1), w_lo),
+            (jnp.clip(lo_i + 1, 0, size - 1), w_hi))
+
+
+def _resample_gather(masks: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray):
+    """Separable 2-tap resample: masks (..., S, S) sampled at cy/cx (..., M)
+    → (..., M, M).  Equals the hat-matrix einsum to f32 rounding (~1e-7)
+    with O(M·S) work instead of O(M·S²) matmuls.
+
+    MEASURED 30× SLOWER than the einsum on TPU v5e (18.9 vs 0.62 ms/img at
+    the production voting shape — docs/results/paste_kernel_r4.jsonl):
+    ``take_along_axis`` lowers to serial dynamic gathers on TPU, so the
+    FLOP saving never materializes.  Kept as (a) the fast path on gather-
+    friendly backends and (b) an independently-formulated exactness oracle
+    for the hat-matrix semantics (tests/test_masks.py).
+    """
+    s = masks.shape[-1]
+    vals = masks.astype(jnp.float32)
+    (yl, wyl), (yh, wyh) = _lerp_taps(cy, s)
+    rows = (jnp.take_along_axis(vals, yl[..., None], axis=-2) * wyl[..., None]
+            + jnp.take_along_axis(vals, yh[..., None], axis=-2) * wyh[..., None])
+    (xl, wxl), (xh, wxh) = _lerp_taps(cx, s)
+    return (jnp.take_along_axis(rows, xl[..., None, :], axis=-1) * wxl[..., None, :]
+            + jnp.take_along_axis(rows, xh[..., None, :], axis=-1) * wxh[..., None, :])
+
+
 def mask_voting(
     kept_boxes: jnp.ndarray,
     cand_boxes: jnp.ndarray,
@@ -172,6 +228,7 @@ def mask_voting_per_det(
     cand_scores: jnp.ndarray,
     cand_masks: jnp.ndarray,
     iou_thresh: float = 0.5,
+    impl: str = "einsum",
 ) -> jnp.ndarray:
     """Voting with a PER-DETECTION candidate set (the post-top-K fast path).
 
@@ -184,6 +241,9 @@ def mask_voting_per_det(
       cand_boxes: (N, Cv, 4) candidates per kept det.
       cand_scores: (N, Cv) — zero entries are ignored.
       cand_masks: (N, Cv, M, M).
+      iou_thresh: neighbor threshold.
+      impl: "einsum" (per-pair hat matmuls) or "gather" (separable 2-tap
+        take_along_axis — same math to f32 rounding, O(M·S) per pair).
 
     Returns (N, M, M) merged soft masks.
     """
@@ -191,10 +251,16 @@ def mask_voting_per_det(
         kept_boxes, cand_boxes)  # (N, Cv)
     w = jnp.where(iou >= iou_thresh, cand_scores.astype(jnp.float32), 0.0)
 
-    resample = jax.vmap(  # over kept dets
-        jax.vmap(_resample_to_frame, in_axes=(0, 0, None)),  # over candidates
-        in_axes=(0, 0, 0))
-    stacks = resample(cand_masks, cand_boxes, kept_boxes)  # (N, Cv, M, M)
+    if impl == "gather":
+        m = cand_masks.shape[-1]
+        cy, cx = _frame_coords_batched(
+            kept_boxes[:, None, :], cand_boxes, m)  # (N, Cv, M)
+        stacks = _resample_gather(cand_masks, cy, cx)  # (N, Cv, M, M)
+    else:
+        resample = jax.vmap(  # over kept dets
+            jax.vmap(_resample_to_frame, in_axes=(0, 0, None)),  # over candidates
+            in_axes=(0, 0, 0))
+        stacks = resample(cand_masks, cand_boxes, kept_boxes)  # (N, Cv, M, M)
     num = jnp.einsum("nc,ncpq->npq", w, stacks, precision="highest")
     den = jnp.maximum(jnp.sum(w, axis=1), 1e-8)
     return num / den[:, None, None]

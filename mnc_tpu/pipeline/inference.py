@@ -49,6 +49,10 @@ class PostCfg:
     score_thresh: float = 0.0  # candidates below are dropped (CONF at demo time)
     paste: bool = True  # fuse full-canvas paste-back into the program
     binarize_thresh: float = 0.4  # cfg.BINARIZE_THRESH
+    # TEST.VOTE_IMPL: voting mask-resample implementation — "einsum"
+    # (per-pair hat matmuls) or "gather" (separable 2-tap take_along_axis,
+    # same math to f32 rounding — ops/mask_voting.py::_resample_gather).
+    vote_impl: str = "einsum"
     # TEST.PASTE_IMPL: "auto" = the XLA einsum — measured fastest on v5e
     # (0.86 ms vs 0.91–1.02 ms for every kernel variant at K=100/640×1024)
     # because XLA already fuses the binarize into the einsum epilogue (cost
@@ -71,6 +75,7 @@ class PostCfg:
             use_mask_merge=bool(cfg.TEST.USE_MASK_MERGE),
             mask_merge_iou=cfg.TEST.MASK_MERGE_IOU_THRESH,
             vote_boxes=bool(cfg.TEST.VOTE_BOXES),
+            vote_impl=str(cfg.TEST.VOTE_IMPL),
             binarize_thresh=cfg.BINARIZE_THRESH,
             paste_impl=str(cfg.TEST.PASTE_IMPL),
         )
@@ -131,7 +136,8 @@ def postprocess_detections(
             det_boxes = box_voting_per_det(
                 det_boxes, rois[ci], cs, post.mask_merge_iou)
         det_masks = mask_voting_per_det(
-            det_boxes, rois[ci], cs, soft_masks[ci], post.mask_merge_iou)
+            det_boxes, rois[ci], cs, soft_masks[ci], post.mask_merge_iou,
+            impl=post.vote_impl)
     else:
         det_masks = soft_masks[roi_idx]
 

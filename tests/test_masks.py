@@ -113,3 +113,25 @@ def test_mask_voting_ignores_far_candidates():
     scores = np.array([1.0, 5.0], np.float32)
     out = np.asarray(mask_voting(kept, cboxes, scores, masks, np.ones(2, bool)))
     np.testing.assert_allclose(out, 0.2, atol=1e-4)
+
+
+def test_mask_voting_per_det_gather_matches_einsum(rng):
+    """The 2-tap gather resample equals the hat-matmul one to f32 rounding,
+    including degenerate/inverted/out-of-frame candidate boxes."""
+    from mnc_tpu.ops.mask_voting import mask_voting_per_det
+
+    n, cv, m = 12, 6, 21
+    x1 = rng.uniform(0, 900, (n,)); y1 = rng.uniform(0, 550, (n,))
+    kept = np.stack([x1, y1, x1 + rng.uniform(16, 300, n),
+                     y1 + rng.uniform(16, 200, n)], -1).astype(np.float32)
+    cand = np.repeat(kept[:, None, :], cv, 1).astype(np.float32)
+    cand += rng.uniform(-30, 30, cand.shape).astype(np.float32)
+    cand[0, 1] = [500, 400, 460, 380]      # inverted
+    cand[1, 2] = [0, 0, 0, 0]              # degenerate
+    cand[2, 3] = [-900, -500, -800, -450]  # far outside the kept frame
+    scores = rng.uniform(size=(n, cv)).astype(np.float32)
+    masks = rng.uniform(size=(n, cv, m, m)).astype(np.float32)
+
+    a = np.asarray(mask_voting_per_det(kept, cand, scores, masks, impl="einsum"))
+    b = np.asarray(mask_voting_per_det(kept, cand, scores, masks, impl="gather"))
+    np.testing.assert_allclose(a, b, atol=2e-6)
