@@ -147,6 +147,10 @@ __C.NET.ROI_WARP_IMPL = "einsum"
 # full-resolution HBM traffic of block 1 halves.  Layout-only knob: the param
 # tree is unchanged, so checkpoints are interchangeable with the plain path.
 __C.NET.S2D_BLOCK1 = False
+# Run VGG block 1 (conv1_1 -> relu -> conv1_2 -> relu -> pool1) as one fused
+# Pallas kernel with all intermediates in VMEM (ops/pallas/block1_kernel.py).
+# Layout-only: identical param tree; matches XLA within 1 bf16 ulp.
+__C.NET.FUSED_BLOCK1 = False
 
 # ---- training ----
 __C.TRAIN = _tree()

@@ -127,6 +127,11 @@ class MNCArch:
     # math, half-resolution HBM traffic, MXU-friendly contraction depths —
     # models/vgg.py). Layout-only: param tree and checkpoints unchanged.
     s2d_block1: bool = False
+    # NET.FUSED_BLOCK1: run VGG block 1 as the fused Pallas kernel
+    # (conv1_1→relu→conv1_2→relu→pool1 entirely in VMEM —
+    # ops/pallas/block1_kernel.py). Layout-only: param tree unchanged;
+    # matches the XLA path within 1 bf16 ulp. Requires H % 8 == 0.
+    fused_block1: bool = False
 
     def __post_init__(self):
         if self.pooled_hw is None:
@@ -199,6 +204,7 @@ class MNCArch:
             nms_chunk=(int(cfg.STATIC.NMS_CHUNK)
                        or (512 if train else 256)),
             s2d_block1=bool(cfg.NET.S2D_BLOCK1),
+            fused_block1=bool(cfg.NET.FUSED_BLOCK1),
             roi_warp_impl=str(cfg.NET.ROI_WARP_IMPL),
         )
         kw.update(overrides)
@@ -386,7 +392,8 @@ class MNC(nn.Module):
             cls_t, kw = VGG16Trunk, dict(compute_dtype=a.compute_dtype,
                                          frozen_blocks=a.trunk_frozen,
                                          int8=a.int8_inference,
-                                         s2d_block1=a.s2d_block1)
+                                         s2d_block1=a.s2d_block1,
+                                         fused_block1=a.fused_block1)
         elif a.trunk.startswith("resnet"):
             cls_t, kw = ResNetTrunk, dict(depth=int(a.trunk[6:]),
                                           compute_dtype=a.compute_dtype,

@@ -100,6 +100,22 @@ class _S2DConv(nn.Module):
         return _s2d_conv(x2, kernel, bias, self.compute_dtype)
 
 
+class _ConvParams(nn.Module):
+    """Declares ``nn.Conv``-shaped params (kernel + bias) without computing —
+    lets the fused block-1 Pallas kernel consume the standard param tree."""
+
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class VGG16Trunk(nn.Module):
     """conv1_1…conv5_3 with 2x2 max pools after blocks 1-4 → stride-16 features.
 
@@ -120,6 +136,11 @@ class VGG16Trunk(nn.Module):
     # input per phase, and XLA's full-res conv1 is already compute-bound.
     # Kept as a documented layout experiment; leave False.
     s2d_block1: bool = False
+    # Run block 1 as the fused Pallas kernel (conv1_1→relu→conv1_2→relu→
+    # pool1 with every intermediate in VMEM — ops/pallas/block1_kernel.py).
+    # Identical param tree; matches this path within 1 bf16 ulp.  Falls back
+    # to the unfused path under int8/s2d/prefix-profiling or when H % 8 ≠ 0.
+    fused_block1: bool = False
     # Profiling hook (tools/profile_net.py --trunk-layers): stop after the
     # first N ops (each conv+relu, and each pool, counts as one op).  -1 = 18
     # ops = the full trunk.  Prefix deltas give per-layer device time.
@@ -133,6 +154,17 @@ class VGG16Trunk(nn.Module):
         x = x.astype(self.compute_dtype)
         ops_left = self.prefix_ops if self.prefix_ops >= 0 else 1 << 30
         start = 0
+        if (self.fused_block1 and not self.int8 and not self.s2d_block1
+                and self.prefix_ops < 0 and x.shape[1] % 8 == 0
+                and x.shape[2] % 2 == 0):
+            from mnc_tpu.ops.pallas.block1_kernel import fused_block1
+
+            w1, b1 = _ConvParams(3, 64, name="conv1_1")()
+            w2, b2 = _ConvParams(64, 64, name="conv1_2")()
+            x = fused_block1(x, w1, b1, w2, b2, 4)
+            if self.frozen_blocks > 0:
+                x = jax.lax.stop_gradient(x)
+            start = 1
         if self.s2d_block1 and not self.int8:
             assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, \
                 "s2d block1 needs an even canvas"
