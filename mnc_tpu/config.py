@@ -151,6 +151,11 @@ __C.NET.S2D_BLOCK1 = False
 # Pallas kernel with all intermediates in VMEM (ops/pallas/block1_kernel.py).
 # Layout-only: identical param tree; matches XLA within 1 bf16 ulp.
 __C.NET.FUSED_BLOCK1 = False
+# Trunk blocks (VGG) / stages (ResNet) with stopped gradients.  The
+# reference froze conv1-conv2 via lr_mult 0 (ImageNet-pretrained trunk,
+# train_val.prototxt†); set 0 when training FROM SCRATCH — frozen random
+# filters never learn (tools/e2e_synth_demo.py does this explicitly).
+__C.NET.TRUNK_FROZEN = 2
 
 # ---- training ----
 __C.TRAIN = _tree()

@@ -58,6 +58,40 @@ def _decode_rle_string(s: str) -> list[int]:
     return counts
 
 
+def _encode_rle_string(counts) -> str:
+    """Run lengths → pycocotools compressed RLE string (inverse of
+    :func:`_decode_rle_string`; delta from counts[i-2], signed LEB-5)."""
+    out = []
+    counts = [int(c) for c in counts]
+    for i, x in enumerate(counts):
+        if i > 2:  # pycocotools deltas from the 4th count on (rleToString)
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def encode_coco_rle(mask: np.ndarray) -> dict:
+    """Binary (h, w) mask → COCO compressed-RLE annotation segmentation
+    (``{"counts": str, "size": [h, w]}``, column-major runs)."""
+    m = np.asarray(mask) > 0.5
+    h, w = m.shape
+    flat = m.T.reshape(-1)  # column-major, as pycocotools
+    # run lengths starting with a (possibly empty) run of zeros
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    bounds = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    if flat.size and flat[0]:
+        counts = [0] + counts
+    return {"counts": _encode_rle_string(counts), "size": [h, w]}
+
+
 def polygons_to_mask(polys, h: int, w: int) -> np.ndarray:
     import cv2
 

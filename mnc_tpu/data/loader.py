@@ -176,6 +176,7 @@ class TrainLoader:
         import os.path as osp
         import pickle
 
+        k, s = self.seg_top_k, self.seg_mask_size
         if i not in self._seg_cache:
             image_id = self.imdb.image_index[i]
             path = osp.join(self.segdb_dir, f"{image_id}.pkl")
@@ -185,25 +186,32 @@ class TrainLoader:
                     f"({path} missing) — run tools/prepare_mcg_maskdb.py "
                     f"over the full image list first")
             with open(path, "rb") as f:
-                self._seg_cache[i] = pickle.load(f)
-        rec = self._seg_cache[i]
+                rec = pickle.load(f)
+            # Cache the PROCESSED fixed-shape arrays (top-k slice, resized
+            # masks), not the raw record: a real MCG segdb carries thousands
+            # of full-size proposal masks per image, which would grow the
+            # cache to many GB over an epoch and redo the resize every visit.
+            nseg = min(len(rec["boxes"]), k)
+            cboxes = np.zeros((k, 4), np.float32)
+            cmasks = np.zeros((k, s, s), np.float32)
+            cvalid = np.zeros((k,), bool)
+            cboxes[:nseg] = np.asarray(rec["boxes"][:nseg], np.float32)
+            src = np.asarray(rec["masks"][:nseg], np.float32)
+            if nseg and src.shape[-1] != s:
+                import cv2
 
-        k, s = self.seg_top_k, self.seg_mask_size
-        nseg = min(len(rec["boxes"]), k)
-        boxes = np.zeros((k, 4), np.float32)
-        masks = np.zeros((k, s, s), np.float32)
-        valid = np.zeros((k,), bool)
-        boxes[:nseg] = np.asarray(rec["boxes"][:nseg], np.float32)
-        src = np.asarray(rec["masks"][:nseg], np.float32)
-        if nseg and src.shape[-1] != s:
-            import cv2
-
-            src = np.stack([cv2.resize(m, (s, s), interpolation=cv2.INTER_AREA)
-                            for m in src])
-        masks[:nseg] = src
-        valid[:nseg] = True
+                src = np.stack(
+                    [cv2.resize(m, (s, s), interpolation=cv2.INTER_AREA)
+                     for m in src])
+            cmasks[:nseg] = src
+            cvalid[:nseg] = True
+            self._seg_cache[i] = (cboxes, cmasks, cvalid, nseg)
+        cboxes, cmasks, cvalid, nseg = self._seg_cache[i]
+        boxes, masks, valid = cboxes.copy(), cmasks.copy(), cvalid.copy()
         if flipped:
-            width = entry.get("width") or self.canvas_hw[1]
+            # _make always caches entry["width"] before flipping; the canvas
+            # width is NOT the original image width, so never fall back to it.
+            width = entry["width"]
             x1 = boxes[:nseg, 0].copy()
             boxes[:nseg, 0] = width - boxes[:nseg, 2] - 1
             boxes[:nseg, 2] = width - x1 - 1

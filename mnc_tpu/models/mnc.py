@@ -205,6 +205,7 @@ class MNCArch:
                        or (512 if train else 256)),
             s2d_block1=bool(cfg.NET.S2D_BLOCK1),
             fused_block1=bool(cfg.NET.FUSED_BLOCK1),
+            trunk_frozen=int(cfg.NET.TRUNK_FROZEN),
             roi_warp_impl=str(cfg.NET.ROI_WARP_IMPL),
         )
         kw.update(overrides)

@@ -144,6 +144,11 @@ class VGG16Trunk(nn.Module):
     # Profiling hook (tools/profile_net.py --trunk-layers): stop after the
     # first N ops (each conv+relu, and each pool, counts as one op).  -1 = 18
     # ops = the full trunk.  Prefix deltas give per-layer device time.
+    # APPLY-ONLY: the early return exits mid-@nn.compact, so a truncated
+    # trunk defines only a prefix of the param subtree — init() of a
+    # truncated trunk is incompatible with full-trunk params.  Always init
+    # with prefix_ops=-1 and apply() the full params (extra keys tolerated),
+    # as tools/profile_net.py does.
     prefix_ops: int = -1
 
     @nn.compact

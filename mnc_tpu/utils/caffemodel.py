@@ -112,8 +112,52 @@ def _parse_blob(buf: memoryview) -> np.ndarray:
     return data
 
 
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def read_caffemodel_h5(path: str) -> dict[str, list[np.ndarray]]:
+    """Read a caffe HDF5 weights file (``Net::ToHDF5`` layout).
+
+    The RELEASED MNC model is ``mnc_model.caffemodel.h5`` — caffe's HDF5
+    format, not protobuf (``data/scripts/fetch_mnc_model.sh†``): a root
+    group ``/data`` with one subgroup per layer, datasets ``"0"``, ``"1"``,
+    … per blob (weights, bias).  Files without the ``data`` group (bare
+    ``/<layer>/<i>``) are accepted too.
+    """
+    import h5py
+
+    out: dict[str, list[np.ndarray]] = {}
+
+    def walk(name: str, grp) -> None:
+        # layer names may contain '/' (rpn_conv/3x3), which HDF5 stores as
+        # nested groups — a "layer" is the group whose children are all
+        # integer-named datasets (the blobs)
+        keys = list(grp.keys())
+        if keys and all(isinstance(grp[k], h5py.Dataset) and k.isdigit()
+                        for k in keys):
+            out[name] = [np.asarray(grp[k], np.float32)
+                         for k in sorted(keys, key=int)]
+            return
+        for k in keys:
+            if isinstance(grp[k], h5py.Group):
+                walk(f"{name}/{k}" if name else k, grp[k])
+
+    with h5py.File(path, "r") as f:
+        walk("", f["data"] if "data" in f else f)
+    return out
+
+
 def read_caffemodel(path: str) -> dict[str, list[np.ndarray]]:
-    """Parse a .caffemodel into {layer_name: [blob arrays]} (order kept)."""
+    """Parse a .caffemodel into {layer_name: [blob arrays]} (order kept).
+
+    Dispatches on the file magic: HDF5 files (the released
+    ``mnc_model.caffemodel.h5``) go through :func:`read_caffemodel_h5`,
+    anything else is parsed as a serialized ``caffe.NetParameter``.
+    """
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head == _HDF5_MAGIC:
+        return read_caffemodel_h5(path)
     with open(path, "rb") as f:
         buf = memoryview(f.read())
     out: dict[str, list[np.ndarray]] = {}
@@ -136,6 +180,105 @@ def read_caffemodel(path: str) -> dict[str, list[np.ndarray]]:
                 blobs.append(_parse_blob(v2))
         if name is not None and blobs:
             out[name] = blobs
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Writers (the inverse wire format) — used by the parity-day full-dress
+# rehearsal (tools/fabricate_caffemodel.py) and to EXPORT a trained model
+# back to the reference's weight formats.
+# --------------------------------------------------------------------------- #
+
+
+def _write_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _write_len_field(field: int, payload: bytes) -> bytes:
+    return (_write_varint((field << 3) | _LENGTH)
+            + _write_varint(len(payload)) + payload)
+
+
+def _write_blob(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, np.float32)
+    shape_payload = _write_len_field(
+        1, b"".join(_write_varint(int(d)) for d in arr.shape))
+    return (_write_len_field(7, shape_payload)
+            + _write_len_field(5, arr.tobytes()))  # packed float data
+
+
+def write_caffemodel(path: str, blobs: dict[str, list[np.ndarray]],
+                     v1: bool = True) -> None:
+    """Serialize {layer_name: [arrays]} as a caffe ``NetParameter``.
+
+    ``v1=True`` emits the MNC-era ``layers`` (field 2, V1LayerParameter:
+    name=4 blobs=6) format; ``v1=False`` the 1.0 ``layer`` (field 100:
+    name=1 blobs=7) format.  Round-trips through :func:`read_caffemodel`.
+    """
+    layer_field, name_field, blob_field = (2, 4, 6) if v1 else (100, 1, 7)
+    out = bytearray()
+    for lname, arrs in blobs.items():
+        payload = _write_len_field(name_field, lname.encode("utf-8"))
+        for a in arrs:
+            payload += _write_len_field(blob_field, _write_blob(a))
+        out += _write_len_field(layer_field, bytes(payload))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def write_caffemodel_h5(path: str, blobs: dict[str, list[np.ndarray]]) -> None:
+    """Write caffe's ``Net::ToHDF5`` layout (``/data/<layer>/<i>``)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        for lname, arrs in blobs.items():
+            grp = data.create_group(lname)
+            for i, a in enumerate(arrs):
+                grp.create_dataset(str(i), data=np.asarray(a, np.float32))
+
+
+def infer_arch_overrides(blobs: dict[str, list[np.ndarray]]) -> dict:
+    """Infer MNCArch fields from caffemodel blob shapes (auto-config).
+
+    Resolves the survey's open conventions from the weights themselves —
+    most importantly MASK_SIZE (21-in-code vs 28-in-paper, SURVEY §8.2):
+    ``mask_pred`` is an inner product with M² output rows.  Only fields
+    that are confidently derivable from an exact-name match are returned;
+    a remap (if any) must be applied to ``blobs`` first.
+    """
+    out: dict = {}
+
+    def w(name):
+        b = blobs.get(name)
+        return np.asarray(b[0]) if b else None
+
+    mp = w("mask_pred")
+    if mp is not None and mp.ndim == 2:
+        m = int(round(mp.shape[0] ** 0.5))
+        if m * m == mp.shape[0]:
+            out["mask_size"] = m
+    cs = w("cls_score")
+    if cs is not None and cs.ndim == 2:
+        out["num_classes"] = int(cs.shape[0])
+    fc6 = w("fc6")
+    if fc6 is not None and fc6.ndim == 2:
+        out["fc_dim"] = int(fc6.shape[0])
+    fm = w("fc6_maskest")
+    if fm is not None and fm.ndim == 2:
+        out["mask_fc_dim"] = int(fm.shape[0])
+        if fm.shape[1] % 512 == 0:  # (mask_fc, warp·warp·512)
+            hw = int(round((fm.shape[1] // 512) ** 0.5))
+            if hw * hw * 512 == fm.shape[1]:
+                out["warp_hw"] = hw
     return out
 
 
@@ -205,7 +348,8 @@ def _convert_weight(w: np.ndarray, kind: str, dst: dict):
 
 
 def load_mnc_caffemodel(path: str, params: dict, strict: bool = False,
-                        remap: dict[str, str] | None = None) -> dict:
+                        remap: dict[str, str] | None = None,
+                        blobs: dict[str, list[np.ndarray]] | None = None) -> dict:
     """Import a reference .caffemodel into an MNC param tree.
 
     Converts conv kernels (O,I,kH,kW)→(kH,kW,I,O) and inner products
@@ -224,7 +368,8 @@ def load_mnc_caffemodel(path: str, params: dict, strict: bool = False,
     """
     import copy
 
-    blobs = read_caffemodel(path)
+    if blobs is None:
+        blobs = read_caffemodel(path)
     if remap:
         unknown = [v for v in remap.values() if v not in _MNC_LAYER_MAP]
         if unknown:

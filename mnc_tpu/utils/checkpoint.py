@@ -209,25 +209,48 @@ def parse_remap(pairs) -> dict:
     return out
 
 
-def load_import_weights(caffemodel_path, npz_path, arch, params, remap=None):
+def load_import_weights(caffemodel_path, npz_path, arch, params, remap=None,
+                        make_params=None):
     """Shared --caffemodel / --npz handling for the tool CLIs.
 
     Returns (params, arch) — the arch may be a replacement configured for the
     imported weights: caffemodels flip BOTH bbox_pred_normalized (snapshot
     weights are un-normalized) and suppress_untrainable_anchors (the
-    reference ProposalLayer scored all anchors); npz files carry the
+    reference ProposalLayer scored all anchors), and AUTO-CONFIGURE the
+    fields derivable from blob shapes (MASK_SIZE 21 vs 28, num_classes,
+    warp/fc dims — ``infer_arch_overrides``); npz files carry the
     normalization state as metadata.  Rebuild the model iff arch changed.
     ``remap`` ({source_layer: canonical_layer} or ['old=new', ...]) renames
-    caffemodel layers before matching.
+    caffemodel layers before matching.  ``make_params(arch) -> params``
+    re-initializes the param tree when auto-config changes head shapes;
+    without it a shape-changing import fails loudly.
     """
     import dataclasses
 
     if caffemodel_path:
-        from mnc_tpu.utils.caffemodel import load_mnc_caffemodel
+        from mnc_tpu.utils.caffemodel import (infer_arch_overrides,
+                                              load_mnc_caffemodel,
+                                              read_caffemodel)
 
         if isinstance(remap, (list, tuple)):
             remap = parse_remap(remap)
-        params = load_mnc_caffemodel(caffemodel_path, params, remap=remap)
+        blobs = read_caffemodel(caffemodel_path)
+        named = ({remap.get(k, k): v for k, v in blobs.items()} if remap
+                 else blobs)
+        overrides = infer_arch_overrides(named)
+        changes = {k: v for k, v in overrides.items()
+                   if getattr(arch, k) != v}
+        if changes:
+            print(f"caffemodel auto-config: {changes} "
+                  f"(was {({k: getattr(arch, k) for k in changes})})")
+            arch = dataclasses.replace(arch, **changes)
+            if make_params is None:
+                raise ValueError(
+                    f"caffemodel {caffemodel_path} needs arch overrides "
+                    f"{changes} but no make_params re-init hook was given")
+            params = make_params(arch)
+        params = load_mnc_caffemodel(caffemodel_path, params, remap=remap,
+                                     blobs=blobs)
         arch = dataclasses.replace(arch, bbox_pred_normalized=False,
                                    suppress_untrainable_anchors=False)
         print(f"loaded reference weights from {caffemodel_path} "

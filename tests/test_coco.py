@@ -1,6 +1,7 @@
 """COCO loader: RLE/polygon decoding + end-to-end on a tiny fabricated JSON."""
 
 import json
+import os.path as osp
 
 import numpy as np
 import pytest
@@ -68,3 +69,93 @@ def test_coco_imdb(tmp_path):
     gt = imdb.gt_instances()
     assert len(gt[1]) == 2
     assert gt[1][0]["mask"].shape == (32, 48)
+
+
+def test_encode_coco_rle_roundtrip():
+    from mnc_tpu.data.coco import encode_coco_rle
+
+    rs = np.random.RandomState(7)
+    for _ in range(10):
+        h, w = rs.randint(3, 60, size=2)
+        m = (rs.uniform(size=(h, w)) > rs.uniform(0.3, 0.8)).astype(np.uint8)
+        rle = encode_coco_rle(m)
+        assert isinstance(rle["counts"], str) and rle["size"] == [h, w]
+        np.testing.assert_array_equal(
+            decode_coco_rle(rle["counts"], h, w), m)
+    # all-zero and all-one edge cases
+    for v in (0, 1):
+        m = np.full((5, 9), v, np.uint8)
+        rle = encode_coco_rle(m)
+        np.testing.assert_array_equal(decode_coco_rle(rle["counts"], 5, 9), m)
+
+
+def test_coco_e2e_emit_load_train_eval(tmp_path):
+    """The full COCO-format pipeline at CPU scale (VERDICT r4 item 5):
+    synthetic scenes → REAL COCO JSON (polygon + RLE) → COCOSeg →
+    TrainLoader → jitted train steps → averaged AP^r oracle on the gt."""
+    pytest.importorskip("cv2")
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(__file__)), "tools"))
+    from make_coco_synth import emit_coco_synth
+
+    from mnc_tpu.data.eval_sds import eval_sds_averaged
+    from mnc_tpu.data.loader import TrainLoader
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.train.loop import TrainState, make_train_step
+    from mnc_tpu.train.optim import make_optimizer
+
+    root = str(tmp_path / "coco")
+    emit_coco_synth(root, "mini", 4, canvas_hw=(96, 128), num_classes=4,
+                    n_range=(1, 3), seed=5)
+    imdb = COCOSeg("mini", root=root, cache_dir=str(tmp_path / "cache"))
+    assert len(imdb.classes) == 4
+    # both segmentation encodings present in the emitted JSON
+    with open(osp.join(root, "annotations", "instances_mini.json")) as f:
+        anns = json.load(f)["annotations"]
+    kinds = {list if isinstance(a["segmentation"], list) else dict
+             for a in anns}
+    assert kinds == {list, dict}
+
+    arch = MNCArch(canvas=(96, 128), anchor_scales=(1, 2, 4), num_classes=4,
+                   mask_size=13, warp_hw=6, n_stages=5,
+                   compute_dtype=jnp.float32, fc_dim=64, mask_fc_dim=32,
+                   pre_nms_top_n=64, post_nms_top_n=16, rpn_min_size=4.0,
+                   trunk_frozen=0)
+    train_cfg = dict(RPN_POSITIVE_OVERLAP=0.6, RPN_NEGATIVE_OVERLAP=0.3,
+                     RPN_BATCHSIZE=64, RPN_FG_FRACTION=0.5, BATCH_SIZE=32,
+                     FG_FRACTION=0.25, FG_THRESH=0.5, BG_THRESH_HI=0.5,
+                     BG_THRESH_LO=0.0)
+    model = MNC(arch=arch)
+    loader = TrainLoader(imdb, max_gt=4, canvas_hw=arch.canvas,
+                         gt_mask_size=21, ims_per_batch=2, prefetch=1)
+    batch = next(loader)
+    # loader scaled boxes into the canvas and produced fixed shapes
+    assert batch["image"].shape == (2, 96, 128, 3)
+    assert batch["gt_masks"].shape == (2, 4, 21, 21)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["image"][0], jnp.float32),
+                        jnp.asarray(batch["im_info"][0]))
+    tx = make_optimizer(params)
+    step = make_train_step(model, tx, arch, train_cfg)
+    state = TrainState.create(params, tx)
+    losses = []
+    for it in range(2):
+        b = jax.tree.map(jnp.asarray, next(loader))
+        state, metrics = step(state, b, jax.random.PRNGKey(it))
+        losses.append(float(jax.device_get(metrics["total"])))
+    assert all(np.isfinite(losses)), losses
+
+    # COCO-style averaged AP^r: the gt against itself must be ~1.0
+    gt = imdb.gt_instances()
+    dets = []
+    for image_id, insts in gt.items():
+        for inst in insts:
+            dets.append({"image_id": image_id,
+                         "class_id": inst["class_id"],
+                         "score": 1.0, "mask": inst["mask"]})
+    r = eval_sds_averaged(dets, gt, imdb.num_classes)
+    assert r["map"] > 0.99, r

@@ -68,8 +68,10 @@ def main():
     if args.caffemodel or args.npz:
         from mnc_tpu.utils.checkpoint import load_import_weights
 
-        params, arch2 = load_import_weights(args.caffemodel, args.npz, arch,
-                                            params, remap=args.remap)
+        params, arch2 = load_import_weights(
+            args.caffemodel, args.npz, arch, params, remap=args.remap,
+            make_params=lambda a: MNC(arch=a).init(
+                jax.random.PRNGKey(0), img0, info0))
         if arch2 is not arch:
             arch, model = arch2, MNC(arch=arch2)
         print(f"loaded params from {args.caffemodel or args.npz}")

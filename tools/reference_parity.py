@@ -68,6 +68,16 @@ def parse_args():
     ap.add_argument("--dry-run", action="store_true",
                     help="run the identical pipeline on a generated "
                          "miniature SBD with random weights (plumbing proof)")
+    ap.add_argument("--fabricate", choices=("proto", "h5"), default=None,
+                    help="with --dry-run: fabricate a FULL-SIZE fake "
+                         ".caffemodel (recalled layer names, VGG-16 shapes, "
+                         "MASK_SIZE 28) and run the real import → "
+                         "auto-config → test_net path against it — the "
+                         "parity-day full-dress rehearsal")
+    ap.add_argument("--fabricate-rename", nargs="*", default=[],
+                    metavar="OLD=NEW",
+                    help="misname layers in the fabricated file (rehearses "
+                         "the shape-fallback / --remap seam)")
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra args passed through to tools/test_net.py")
     return ap.parse_args()
@@ -165,6 +175,27 @@ def main():
         build_mini_sbd(root)
         print(f"dry run: miniature SBD at {root}")
         args.cache = osp.join(tmp, "detections.pkl")
+        if args.fabricate:
+            # full-dress rehearsal: full-size fabricated reference weights
+            # through the REAL import path (wire parse → auto-config of
+            # MASK_SIZE 28 from blob shapes → param re-init → load)
+            from fabricate_caffemodel import fabricate_blobs
+
+            from mnc_tpu.utils.caffemodel import (write_caffemodel,
+                                                  write_caffemodel_h5)
+
+            blobs = fabricate_blobs(mask_size=28, num_classes=21)
+            for pair in args.fabricate_rename:
+                old, new = pair.split("=", 1)
+                blobs[new] = blobs.pop(old)
+            path = osp.join(tmp, "mnc_model.caffemodel")
+            if args.fabricate == "h5":
+                path += ".h5"
+                write_caffemodel_h5(path, blobs)
+            else:
+                write_caffemodel(path, blobs)
+            args.caffemodel = path
+            print(f"fabricated full-size reference weights: {path}")
         ap50, ap70 = run_test_net(args, root, dry=True)
         expected = {"0.5": ap50, "0.7": ap70}  # self-diff: machinery proof
         tol = args.tol
