@@ -125,6 +125,116 @@ def eval_sds(
     return {"ap": ap, "map": mean_ap, "thresh": iou_thresh}
 
 
+def eval_sds_matches(
+    detections: list[dict],
+    gt_instances: dict,
+    num_classes: int,
+    iou_thresh: float = 0.5,
+) -> dict:
+    """Per-image decomposition of :func:`eval_sds` for paired bootstrap.
+
+    Greedy matching claims gt per image, and detections of different images
+    never compete, so matching each image's detections in descending-score
+    order is EXACTLY the global-rank greedy restricted to that image.  The
+    per-image (scores, tp) lists therefore recompose to the full eval under
+    any image resampling — the basis for image-level bootstrap CIs
+    (:func:`map_from_matches`).
+
+    Returns {cls: {"npos": {img: int}, "scores": {img: f64[n]},
+                   "tp": {img: bool[n]}}} (images with no dets/gt omitted
+    from the respective dicts).
+    """
+    from mnc_tpu import native
+
+    out: dict = {}
+    for cls in range(1, num_classes):
+        npos: dict = {}
+        scores: dict = {}
+        tps: dict = {}
+        for img, lst in gt_instances.items():
+            n = sum(1 for g in lst if g["class_id"] == cls)
+            if n:
+                npos[img] = n
+        by_img: dict = {}
+        for d in detections:
+            if d["class_id"] == cls:
+                by_img.setdefault(d["image_id"], []).append(d)
+        for img, dets in by_img.items():
+            dets.sort(key=lambda d: -d["score"])
+            gts = [g for g in gt_instances.get(img, ())
+                   if g["class_id"] == cls]
+            tp = np.zeros(len(dets), bool)
+            if gts:
+                dmasks = np.stack([d["mask"] for d in dets])
+                gmasks = np.stack([g["mask"] for g in gts])
+                mat = native.mask_iou_matrix(dmasks, gmasks)
+                claimed = np.zeros(len(gts), bool)
+                for i in range(len(dets)):
+                    j = int(np.argmax(mat[i]))
+                    if mat[i, j] >= iou_thresh and not claimed[j]:
+                        tp[i] = True
+                        claimed[j] = True
+            scores[img] = np.array([d["score"] for d in dets], np.float64)
+            tps[img] = tp
+        if npos:
+            out[cls] = {"npos": npos, "scores": scores, "tp": tps}
+    return out
+
+
+def map_from_matches(matches: dict, image_ids,
+                     use_07_metric: bool = False) -> float:
+    """mAP^r over an image multiset (with multiplicity) from
+    :func:`eval_sds_matches` output.  With each image once, equals
+    ``eval_sds(...)["map"]``."""
+    from collections import Counter
+
+    mult = Counter(image_ids)
+    aps = []
+    for cls, m in matches.items():
+        npos = sum(n * mult.get(img, 0) for img, n in m["npos"].items())
+        if npos == 0:
+            continue
+        sc_parts, tp_parts = [], []
+        for img, k in mult.items():
+            s = m["scores"].get(img)
+            if s is None or k == 0:
+                continue
+            sc_parts.append(np.tile(s, k))
+            tp_parts.append(np.tile(m["tp"][img], k))
+        if not sc_parts:
+            aps.append(0.0)
+            continue
+        sc = np.concatenate(sc_parts)
+        tp = np.concatenate(tp_parts).astype(np.float64)
+        order = np.argsort(-sc, kind="stable")
+        tp = tp[order]
+        tp_cum = np.cumsum(tp)
+        fp_cum = np.cumsum(1.0 - tp)
+        rec = tp_cum / npos
+        prec = tp_cum / np.maximum(tp_cum + fp_cum, np.finfo(np.float64).eps)
+        aps.append(voc_ap(rec, prec, use_07_metric))
+    return float(np.mean(aps)) if aps else 0.0
+
+
+def bootstrap_map_ci(matches: dict, image_ids, n_boot: int = 1000,
+                     seed: int = 0, alpha: float = 0.05,
+                     resamples: np.ndarray | None = None):
+    """Image-level bootstrap of mAP^r.  Returns (maps[n_boot], (lo, hi)).
+
+    Pass the same ``resamples`` (n_boot, n_images) index array to every
+    variant for PAIRED deltas (CI of map_A - map_B over shared resamples).
+    """
+    ids = list(image_ids)
+    if resamples is None:
+        rs = np.random.RandomState(seed)
+        resamples = rs.randint(0, len(ids), size=(n_boot, len(ids)))
+    maps = np.array([
+        map_from_matches(matches, [ids[j] for j in row])
+        for row in resamples])
+    lo, hi = np.percentile(maps, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return maps, (float(lo), float(hi))
+
+
 def collect_detections(det_out: dict, image_id, score_thresh: float = 0.0) -> list[dict]:
     """Flatten one image's pipeline output (MNCPipeline.detect[_canvas] dict,
     already on host) into evaluator det records using canvas/full masks."""

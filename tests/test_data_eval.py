@@ -189,3 +189,72 @@ def test_imdb_evaluate_avg_key():
     res = imdb.evaluate(dets, iou_threshs=(0.5, "avg"))
     assert res[0.5]["map"] == pytest.approx(1.0)
     assert res["avg"]["map"] == pytest.approx(1.0)
+
+
+def _random_eval_case(seed, n_images=12, num_classes=4, hw=(24, 32)):
+    """Random dets/gt with overlapping blobby masks for matcher tests."""
+    rs = np.random.RandomState(seed)
+    gt, dets = {}, []
+    for img in range(n_images):
+        insts = []
+        for _ in range(rs.randint(0, 4)):
+            m = np.zeros(hw, np.uint8)
+            y, x = rs.randint(0, hw[0] - 8), rs.randint(0, hw[1] - 8)
+            m[y:y + rs.randint(4, 9), x:x + rs.randint(4, 9)] = 1
+            insts.append({"class_id": rs.randint(1, num_classes), "mask": m})
+        gt[img] = insts
+        for _ in range(rs.randint(0, 5)):
+            if insts and rs.rand() < 0.6:  # perturbed copy of a gt mask
+                src = insts[rs.randint(len(insts))]
+                m = src["mask"].copy()
+                m[rs.randint(hw[0]), rs.randint(hw[1])] ^= 1
+                cls = src["class_id"]
+            else:
+                m = np.zeros(hw, np.uint8)
+                y, x = rs.randint(0, hw[0] - 6), rs.randint(0, hw[1] - 6)
+                m[y:y + 5, x:x + 5] = 1
+                cls = rs.randint(1, num_classes)
+            dets.append({"image_id": img, "class_id": cls,
+                         "score": float(rs.rand()), "mask": m})
+    return dets, gt
+
+
+def test_matches_decomposition_equals_eval_sds():
+    """map_from_matches over each image once == eval_sds, both thresholds."""
+    from mnc_tpu.data.eval_sds import eval_sds_matches, map_from_matches
+
+    for seed in (0, 1, 2):
+        dets, gt = _random_eval_case(seed)
+        for thresh in (0.5, 0.7):
+            ref = eval_sds(dets, gt, 4, thresh)["map"]
+            m = eval_sds_matches(dets, gt, 4, thresh)
+            got = map_from_matches(m, list(gt))
+            assert abs(got - ref) < 1e-12, (seed, thresh, got, ref)
+
+
+def test_map_from_matches_multiplicity():
+    """Duplicating every image leaves mAP unchanged (paired-resample
+    semantics: copies match their own gt copies independently)."""
+    from mnc_tpu.data.eval_sds import eval_sds_matches, map_from_matches
+
+    dets, gt = _random_eval_case(3)
+    m = eval_sds_matches(dets, gt, 4, 0.5)
+    once = map_from_matches(m, list(gt))
+    twice = map_from_matches(m, list(gt) * 2)
+    assert abs(once - twice) < 1e-12
+
+
+def test_bootstrap_ci_sane_and_paired():
+    from mnc_tpu.data.eval_sds import bootstrap_map_ci, eval_sds_matches
+
+    dets, gt = _random_eval_case(4)
+    m5 = eval_sds_matches(dets, gt, 4, 0.5)
+    ids = list(gt)
+    rs = np.random.RandomState(0)
+    resamples = rs.randint(0, len(ids), size=(200, len(ids)))
+    maps, (lo, hi) = bootstrap_map_ci(m5, ids, resamples=resamples)
+    assert maps.shape == (200,) and lo <= hi
+    assert 0.0 <= lo and hi <= 1.0
+    # paired delta of a variant against itself is exactly zero
+    maps2, _ = bootstrap_map_ci(m5, ids, resamples=resamples)
+    np.testing.assert_array_equal(maps, maps2)

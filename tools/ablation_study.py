@@ -17,19 +17,41 @@ the reference's weight sharing), so differences are pure cascade effects.
 
     python tools/ablation_study.py --params output/e2e_fullscale_24k/e2e_params.npz \
         --append docs/results/ablation_r3.jsonl
+
+Round-5 protocol (VERDICT r4 item 1): shipped TEST working set (pre-NMS
+6000), >=256 images over >=2 val seeds, image-level bootstrap CIs and
+PAIRED delta CIs vs the 5stage baseline (shared resample indices; run the
+baseline variant FIRST so --only processes can pair against it):
+
+    python tools/ablation_study.py --params output/flagship_r5/e2e_params.npz \
+        --mask-size 28 --pre-nms 6000 --eval-images 256 --val-seeds 99 7 \
+        --bootstrap 1000 --only 5stage --append docs/results/ablation_r5.jsonl
 """
 
 import _init_paths  # noqa: F401
 import argparse
 import dataclasses
 import json
+import os
 import time
+
+import numpy as np
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="output/e2e_fullscale_24k/e2e_params.npz")
-    ap.add_argument("--eval-images", type=int, default=64)
+    ap.add_argument("--eval-images", type=int, default=64,
+                    help="TOTAL eval images, split across --val-seeds")
+    ap.add_argument("--val-seeds", type=int, nargs="*", default=[99],
+                    help="val-set generator seeds (≥2 puts sampling noise "
+                         "inside the CI — VERDICT r4 item 1)")
+    ap.add_argument("--bootstrap", type=int, default=0,
+                    help="N image-level bootstrap resamples: mean±95%% CI "
+                         "per variant and PAIRED delta CI vs --baseline "
+                         "(shared resample indices)")
+    ap.add_argument("--baseline", default="5stage",
+                    help="variant the paired bootstrap deltas compare to")
     ap.add_argument("--only", default=None,
                     help="run a single variant (one config per process keeps "
                          "tunnel sessions short)")
@@ -51,8 +73,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from mnc_tpu.data.eval_sds import (collect_detections, eval_sds,
-                                       eval_sds_averaged)
+    from mnc_tpu.data.eval_sds import (bootstrap_map_ci, collect_detections,
+                                       eval_sds, eval_sds_averaged,
+                                       eval_sds_matches)
     from mnc_tpu.data.synth_imdb import SyntheticIMDB
     from mnc_tpu.models.mnc import MNC, MNCArch
     from mnc_tpu.pipeline.inference import (
@@ -81,11 +104,31 @@ def main():
                          jnp.array([*base.canvas, 1.0]))
     else:
         params = jax.device_put(load_npz(args.params))
-    val = SyntheticIMDB(canvas_hw=base.canvas, num_classes=base.num_classes,
-                        max_gt=6, gt_mask_size=28,
-                        num_images=args.eval_images, seed=99)
-    val_ex = [val.example(i) for i in val.image_index]
-    gt = val.gt_instances()
+    # Multi-seed val: args.eval_images split evenly across --val-seeds so
+    # val-set generator noise sits INSIDE the bootstrap CI.  Image ids are
+    # "s{seed}:{i}" (unique across seeds); order is deterministic given the
+    # flags, so the shared resample indices (and hence paired deltas) line
+    # up across --only processes.
+    per_seed = max(1, args.eval_images // len(args.val_seeds))
+    val_ex, ids = [], []
+    gt: dict = {}
+    for seed in args.val_seeds:
+        val = SyntheticIMDB(canvas_hw=base.canvas,
+                            num_classes=base.num_classes,
+                            max_gt=6, gt_mask_size=28,
+                            num_images=per_seed, seed=seed)
+        seed_gt = val.gt_instances()
+        for i in val.image_index:
+            iid = f"s{seed}:{i}"
+            ids.append(iid)
+            gt[iid] = seed_gt[i]
+            val_ex.append((iid, val.example(i)))
+    num_classes = base.num_classes
+
+    resamples = None
+    if args.bootstrap:
+        resamples = np.random.RandomState(0).randint(
+            0, len(ids), size=(args.bootstrap, len(ids)))
 
     post0 = PostCfg(dets_per_class=16, max_per_image=100, vote_top_k=64,
                     score_thresh=0.01)
@@ -120,26 +163,53 @@ def main():
         pipe = MNCPipeline(model, params, post)
         dets = []
         t_det = 0.0
-        for i, ex in zip(val.image_index, val_ex):
+        for iid, ex in val_ex:
             img = jnp.asarray(ex["image"])
             info = jnp.asarray(ex["im_info"])
             t0 = time.perf_counter()
             out = jax.device_get(pipe.detect_canvas_packed(img, info))
             t_det += time.perf_counter() - t0
             out = unpack_canvas_masks(out, arch.canvas[1])
-            dets.extend(collect_detections(out, i, score_thresh=0.05))
+            dets.extend(collect_detections(out, iid, score_thresh=0.05))
         rec = {
             "config": label,
-            "map_r_050": round(eval_sds(dets, gt, val.num_classes, 0.5)["map"], 4),
-            "map_r_070": round(eval_sds(dets, gt, val.num_classes, 0.7)["map"], 4),
+            "map_r_050": round(eval_sds(dets, gt, num_classes, 0.5)["map"], 4),
+            "map_r_070": round(eval_sds(dets, gt, num_classes, 0.7)["map"], 4),
             "ms_per_img": round(t_det / len(val_ex) * 1e3, 1),
             "pre_nms": args.pre_nms,
             "mask_size": args.mask_size,
             "n_images": len(val_ex),
+            "val_seeds": args.val_seeds,
         }
         if args.coco_ap:
-            avg = eval_sds_averaged(dets, gt, val.num_classes)
+            avg = eval_sds_averaged(dets, gt, num_classes)
             rec["map_r_avg"] = round(avg["map"], 4)
+        if args.bootstrap:
+            boot = {}
+            for key, thr in (("050", 0.5), ("070", 0.7)):
+                m = eval_sds_matches(dets, gt, num_classes, thr)
+                maps, ci = bootstrap_map_ci(m, ids, resamples=resamples)
+                rec[f"ci_{key}"] = [round(ci[0], 4), round(ci[1], 4)]
+                boot[key] = maps
+            rec["n_boot"] = args.bootstrap
+            # Persist bootstrap maps so paired deltas work across --only
+            # processes (same flags -> same resample indices).
+            if args.append:
+                bpath = args.append + ".boot.npz"
+                store = (dict(np.load(bpath))
+                         if os.path.exists(bpath) else {})
+                for key, maps in boot.items():
+                    store[f"{label}:{key}"] = maps
+                np.savez(bpath, **store)
+                if label != args.baseline:
+                    for key in ("050", "070"):
+                        bk = f"{args.baseline}:{key}"
+                        if bk in store:
+                            d = boot[key] - store[bk]
+                            lo, hi = np.percentile(d, [2.5, 97.5])
+                            rec[f"delta_{key}_vs_{args.baseline}"] = [
+                                round(float(d.mean()), 4),
+                                round(float(lo), 4), round(float(hi), 4)]
         print(json.dumps(rec), flush=True)
         if args.append:
             with open(args.append, "a") as f:
