@@ -132,6 +132,14 @@ class MNCArch:
     # ops/pallas/block1_kernel.py). Layout-only: param tree unchanged;
     # matches the XLA path within 1 bf16 ulp. Requires H % 8 == 0.
     fused_block1: bool = False
+    # Keep the three structural dodges around the TPU-worker gather fault
+    # bisected in round 3 (batch-8 608×816 / 38×51 grid): the
+    # optimization_barrier after the top-K gather, presorted NMS, and
+    # lax.map (not vmap) propose in apply_batch.  ONLY tools/fault_repro.py
+    # sets False — it reconstructs the original faulting composition to
+    # re-test the platform after updates.  All dodges are selection-exact,
+    # so False must produce identical outputs wherever it survives.
+    fault_dodges: bool = True
 
     def __post_init__(self):
         if self.pooled_hw is None:
@@ -318,8 +326,11 @@ def propose_rois(
     # worker at some canvas grids (batch-8 608×816 / 38×51 grid, bisected in
     # round 3; 640×1024 unaffected).  Cost: one ~100 KB buffer
     # materialization; the downstream NMS reads it repeatedly anyway.
-    top_boxes, top_scores = jax.lax.optimization_barrier(
-        (boxes[top_idx], top_scores))
+    if arch.fault_dodges:
+        top_boxes, top_scores = jax.lax.optimization_barrier(
+            (boxes[top_idx], top_scores))
+    else:  # tools/fault_repro.py: the original faulting composition
+        top_boxes = boxes[top_idx]
     top_valid = top_scores > neg_inf
 
     # presorted: top_k emits descending scores with the neg_inf padding
@@ -328,7 +339,8 @@ def propose_rois(
     # see nms_indices docstring)
     idx, keep_valid = nms_indices(
         top_boxes, top_scores, top_valid, arch.rpn_nms_thresh,
-        arch.post_nms_top_n, chunk=arch.nms_chunk, presorted=True,
+        arch.post_nms_top_n, chunk=arch.nms_chunk,
+        presorted=arch.fault_dodges,
     )
     rois = top_boxes[idx]
     roi_scores = jnp.where(keep_valid, top_scores[idx], 0.0)
@@ -546,7 +558,9 @@ class MNC(nn.Module):
         # dodged structurally rather than per-op).  The propose stage is
         # ~2% of batch time; sequentializing it is noise, measured on
         # hardware at 640×1024 (bench.py, see STATUS r3).
-        rois, roi_valid, _ = jax.lax.map(
+        propose_map = jax.lax.map if a.fault_dodges else (
+            lambda f, xs: jax.vmap(f)(xs))  # fault_repro: vmapped propose
+        rois, roi_valid, _ = propose_map(
             lambda x: propose_rois(x[0], x[1], x[2], anchors, a),
             (rpn_cls, rpn_bbox, im_infos))
 

@@ -232,3 +232,21 @@ def test_s2d_block1_exact_vs_plain_trunk():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat1[path]), rtol=3e-3, atol=3e-4,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_fault_dodges_off_is_selection_exact(model_and_params):
+    """MNCArch.fault_dodges=False (tools/fault_repro.py's un-dodged
+    composition: vmapped propose, argsort NMS, no barrier) must produce
+    bit-identical apply_batch outputs — the dodges are selection-exact."""
+    import dataclasses
+
+    model, params = model_and_params
+    rs = np.random.RandomState(7)
+    imgs = jnp.asarray(rs.randn(2, *TINY.canvas, 3).astype(np.float32))
+    infos = jnp.asarray(np.tile([64.0, 96.0, 1.0], (2, 1)).astype(np.float32))
+    ref = model.apply(params, imgs, infos, method=MNC.apply_batch)
+    m2 = MNC(arch=dataclasses.replace(TINY, fault_dodges=False))
+    got = m2.apply(params, imgs, infos, method=MNC.apply_batch)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]),
+                                      err_msg=k)

@@ -164,7 +164,46 @@ def main():
     results["paste_ms_einsum"] = round(tpe * 1e3, 3)
     results["paste_ms_pallas"] = round(tpp * 1e3, 3)
 
-    ok = ok_warp and same and ok_paste
+    # ---- fused block 1 at the shipped canvas (VERDICT r4 item 2) ----
+    from mnc_tpu.ops.pallas.block1_kernel import (block1_reference,
+                                                  fused_block1)
+
+    h, wc = 640, 1024
+    bw1 = jnp.asarray(rs.randn(3, 3, 3, 64).astype(np.float32) * 0.1)
+    bb1 = jnp.asarray(rs.randn(64).astype(np.float32))
+    bw2 = jnp.asarray(rs.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    bb2 = jnp.asarray(rs.randn(64).astype(np.float32))
+    img1 = jnp.asarray(rs.randn(1, h, wc, 3).astype(np.float32) * 50)
+
+    bref = jax.jit(lambda x: block1_reference(x, bw1, bb1, bw2, bb2))
+    bfus = jax.jit(lambda x: fused_block1(x, bw1, bb1, bw2, bb2, 4))
+    r1 = np.asarray(jax.device_get(bref(img1)), np.float32)
+    r2 = np.asarray(jax.device_get(bfus(img1)), np.float32)
+    ulp = 2.0 ** -7  # bf16 mantissa ulp (test_block1_kernel tolerance)
+    dev = np.abs(r1 - r2) / np.maximum(np.abs(r1), 1.0)
+    ok_b1 = bool((dev <= ulp).all())
+    print(f"fused_block1 vs XLA at {h}x{wc}: max rel dev {dev.max():.3e} "
+          f"(tol 1 bf16 ulp = {ulp:.3e}) -> {'OK' if ok_b1 else 'MISMATCH'}")
+    results["block1_max_rel_dev"] = float(dev.max())
+    results["block1_exact_ok"] = ok_b1
+
+    img16 = jnp.asarray(rs.randn(16, h, wc, 3).astype(np.float32) * 50)
+
+    def b1_ref(x, carry_in):
+        return bref(x + carry_in * 1e-20)
+
+    def b1_fus(x, carry_in):
+        return bfus(x + carry_in * 1e-20)
+
+    tb_ref = chain_time(b1_ref, (img16,), args.iters, consume)
+    tb_fus = chain_time(b1_fus, (img16,), args.iters, consume)
+    print(f"block1 XLA {tb_ref * 1e3:.3f} ms   pallas {tb_fus * 1e3:.3f} ms "
+          f"(batch 16, {h}x{wc}; per-img {tb_ref / 16 * 1e3:.3f} vs "
+          f"{tb_fus / 16 * 1e3:.3f} ms)")
+    results["block1_ms_xla_b16"] = round(tb_ref * 1e3, 3)
+    results["block1_ms_pallas_b16"] = round(tb_fus * 1e3, 3)
+
+    ok = ok_warp and same and ok_paste and ok_b1
     results["ok"] = ok
     print(json.dumps(results))
     raise SystemExit(0 if ok else 1)
