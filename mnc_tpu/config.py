@@ -167,6 +167,12 @@ __C.TRAIN.FG_FRACTION = 0.25
 __C.TRAIN.FG_THRESH = 0.5
 __C.TRAIN.BG_THRESH_HI = 0.5
 __C.TRAIN.BG_THRESH_LO = 0.0
+# CFM training only: label segment proposals by "box" IoU (the fixtured
+# ProposalTargetLayer convention — default) or "mask" IoU (segment mask vs
+# gt instance mask, in image pixels).  The reference CFM rule is
+# unverifiable from the empty mount (ADVICE r4); flip to "mask" if the
+# upstream code turns out to sample at mask level.
+__C.TRAIN.CFM_IOU = "box"
 __C.TRAIN.USE_FLIPPED = True
 # Real-image loader uploads uint8 canvases; the train step mean-subtracts on
 # device (utils.blob.device_normalize) — 4x less host->device traffic per
@@ -262,6 +268,10 @@ __C.TEST.VOTE_IMPL = "einsum"
 # HBM round-trip does not exist); "pallas" forces the fused VMEM kernel
 # (ops/pallas/paste_kernel.py — validated non-default for future chips).
 __C.TEST.PASTE_IMPL = "auto"
+# Compute dtype of the binarized canvas-paste einsum: "bf16" (default —
+# halves the HBM round-trip; <1e-3 of pixels may flip within bf16 eps of
+# BINARIZE_THRESH) or "f32" (reference-exact; use for parity runs).
+__C.TEST.PASTE_DTYPE = "bf16"
 # int8 MXU inference (beyond-reference; ops/quant.py): trunk convs +
 # fc6/fc7/fc_mask run s8xs8->s32 with dynamic activation scales and
 # per-channel weight scales quantized from the unchanged float params.

@@ -130,7 +130,8 @@ def cfm_loss(params, model: MNC, batch: dict, key, arch: MNCArch,
         roi_batch=train_cfg["BATCH_SIZE"], fg_fraction=train_cfg["FG_FRACTION"],
         fg_thresh=train_cfg["FG_THRESH"], bg_thresh_hi=train_cfg["BG_THRESH_HI"],
         bg_thresh_lo=train_cfg["BG_THRESH_LO"],
-        bbox_means=arch.bbox_means, bbox_stds=arch.bbox_stds)
+        bbox_means=arch.bbox_means, bbox_stds=arch.bbox_stds,
+        iou_mode=train_cfg.get("CFM_IOU", "box"))
 
     roi_feat = model.apply(params, feat, tgt.rois, method=MNC.warp)
     pseudo_logits = mask_pseudo_logits(tgt.seg_masks, arch.mask_size)

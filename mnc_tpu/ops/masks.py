@@ -126,6 +126,7 @@ def paste_masks(
     canvas_hw: tuple[int, int],
     binarize_thresh: float | None = None,
     impl: str = "einsum",
+    compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Unmold predicted masks into the full-resolution canvas.
 
@@ -141,6 +142,12 @@ def paste_masks(
         (reference BINARIZE_THRESH = 0.4).
       impl: "einsum" (XLA; the canvas product round-trips HBM) or "pallas"
         (fused binarize kernel, TPU; requires binarize_thresh).
+      compute_dtype: dtype of the binarized-path canvas einsum (TEST.
+        PASTE_DTYPE).  bf16 (default) halves the HBM round-trip; boundary
+        pixels within bf16 eps of the threshold may flip vs f32 (<1e-3 of
+        pixels — tests/test_masks.py bounds it).  Pass jnp.float32 for
+        reference-exact parity runs.  Ignored by the unbinarized path
+        (always f32) and the pallas kernel (f32 accumulate by design).
 
     Returns (N, H, W) float32 (or bool when binarized).
     """
@@ -167,7 +174,8 @@ def paste_masks(
         # below any binarization threshold, so run the canvas-sized matmul
         # (the single largest postprocess tensor) in bf16: halves its HBM
         # round-trip.  Bool output: 4x less traffic again than f32.
-        out = jnp.einsum("nhp,npq,nwq->nhw", wy.astype(jnp.bfloat16),
-                         masks.astype(jnp.bfloat16), wx.astype(jnp.bfloat16))
+        cd = compute_dtype
+        out = jnp.einsum("nhp,npq,nwq->nhw", wy.astype(cd),
+                         masks.astype(cd), wx.astype(cd))
         return out > binarize_thresh
     return jnp.einsum("nhp,npq,nwq->nhw", wy, masks.astype(jnp.float32), wx)

@@ -60,9 +60,15 @@ class PostCfg:
     # forces the fused VMEM kernel (ops/pallas/paste_kernel.py) — a
     # validated non-default for future chips/canvases.
     paste_impl: str = "auto"
+    # TEST.PASTE_DTYPE: binarized-paste einsum compute dtype — "bf16"
+    # (default, half the HBM traffic) or "f32" (reference-exact parity).
+    paste_dtype: str = "bf16"
 
     def resolved_paste_impl(self) -> str:
         return "einsum" if self.paste_impl == "auto" else self.paste_impl
+
+    def resolved_paste_dtype(self):
+        return jnp.float32 if self.paste_dtype == "f32" else jnp.bfloat16
 
     @classmethod
     def from_cfg(cls, **over) -> "PostCfg":
@@ -78,6 +84,7 @@ class PostCfg:
             vote_impl=str(cfg.TEST.VOTE_IMPL),
             binarize_thresh=cfg.BINARIZE_THRESH,
             paste_impl=str(cfg.TEST.PASTE_IMPL),
+            paste_dtype=str(cfg.TEST.PASTE_DTYPE),
         )
         kw.update(over)
         return cls(**kw)
@@ -153,6 +160,7 @@ def postprocess_detections(
             out["masks"], out["boxes"], canvas_hw,
             binarize_thresh=post.binarize_thresh,
             impl=post.resolved_paste_impl(),
+            compute_dtype=post.resolved_paste_dtype(),
         )
     return out
 

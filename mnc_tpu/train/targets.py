@@ -153,6 +153,42 @@ def _assign(
     return max_ov, arg, gt_boxes[arg], gt_classes[arg], max_ov >= fg_thresh
 
 
+def _assign_mask_iou(rois, roi_masks, gt_boxes, gt_classes, gt_valid,
+                     gt_masks, fg_thresh):
+    """_assign by MASK IoU (TRAIN.CFM_IOU="mask"): each proposal carries
+    its own mask in its box frame (the CFM segment pool); IoU vs each gt
+    instance is computed in image pixels — areas as binary-mask fraction ×
+    box area (+1-width convention), intersection by resampling the gt mask
+    into the proposal's box frame (ops/masks.py::intersect_mask)."""
+    from mnc_tpu.ops.masks import intersect_mask
+
+    s = roi_masks.shape[-1]
+    n = rois.shape[0]
+
+    def area(boxes):
+        return ((boxes[:, 2] - boxes[:, 0] + 1.0)
+                * (boxes[:, 3] - boxes[:, 1] + 1.0))
+
+    rbin = roi_masks > 0.5
+    roi_px = jnp.mean(rbin, axis=(-2, -1)) * area(rois)  # (N,)
+    gt_px = (jnp.mean(gt_masks > 0.5, axis=(-2, -1)) * area(gt_boxes))
+
+    def per_gt(gt_box, gt_mask):
+        proj = intersect_mask(rois, jnp.broadcast_to(gt_box, (n, 4)),
+                              jnp.broadcast_to(gt_mask, (n, *gt_mask.shape)),
+                              s)  # (N, s, s) gt content in each roi frame
+        inter = jnp.mean(rbin & (proj > 0.5), axis=(-2, -1)) * area(rois)
+        return inter
+
+    inter = jax.vmap(per_gt)(gt_boxes, gt_masks).T  # (N, G)
+    union = roi_px[:, None] + gt_px[None, :] - inter
+    overlaps = inter / jnp.maximum(union, 1.0)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, 0.0)
+    max_ov = jnp.max(overlaps, axis=1)
+    arg = jnp.argmax(overlaps, axis=1)
+    return max_ov, arg, gt_boxes[arg], gt_classes[arg], max_ov >= fg_thresh
+
+
 def proposal_targets(
     rois: jnp.ndarray,
     roi_valid: jnp.ndarray,
@@ -271,6 +307,7 @@ def cfm_targets(
     bg_thresh_lo: float = 0.0,
     bbox_means=(0.0, 0.0, 0.0, 0.0),
     bbox_stds=(0.1, 0.1, 0.2, 0.2),
+    iou_mode: str = "box",
 ) -> CfmTargets:
     """Training sample for the CFM path (SURVEY §3.5): label PRECOMPUTED
     segment proposals instead of RPN proposals.
@@ -287,7 +324,12 @@ def cfm_targets(
     ⚠ The reference tree's exact CFM labeling rule (box IoU vs segment-mask
     IoU) is unverifiable here (empty mount); box IoU matches this repo's
     fixtured ProposalTargetLayer convention and the CFM paper's box-level
-    sampling is the documented fallback.
+    sampling is the documented fallback.  ``iou_mode="mask"``
+    (TRAIN.CFM_IOU) labels by segment-mask↔gt-mask IoU instead: the gt
+    mask is resampled into each segment's box frame (intersect_mask) and
+    IoU is computed in image pixels (areas = mask fraction × box area,
+    +1-width convention) — flip the knob if the reference rule turns out
+    to be mask-level.
     """
     s = seg_masks.shape[-1]
     # gt instances join the pool with their own full masks in gt-box frame
@@ -301,8 +343,14 @@ def cfm_targets(
         all_masks = jnp.concatenate([all_masks, jnp.zeros((pad, s, s))], axis=0)
         all_valid = jnp.concatenate([all_valid, jnp.zeros((pad,), bool)], axis=0)
 
-    max_ov, arg, mboxes, mcls, fg = _assign(all_rois, gt_boxes, gt_classes,
-                                            gt_valid, fg_thresh)
+    if iou_mode == "mask":
+        max_ov, arg, mboxes, mcls, fg = _assign_mask_iou(
+            all_rois, all_masks, gt_boxes, gt_classes, gt_valid, gt_masks,
+            fg_thresh)
+    else:
+        max_ov, arg, mboxes, mcls, fg = _assign(all_rois, gt_boxes,
+                                                gt_classes, gt_valid,
+                                                fg_thresh)
     fg = fg & all_valid
     bg = all_valid & (max_ov < bg_thresh_hi) & (max_ov >= bg_thresh_lo) & ~fg
 

@@ -301,3 +301,53 @@ def test_cfm_train_step_learns_and_leaves_mask_head_alone():
                                    np.asarray(after[k_]))]
     assert any("cls" in k_ or "fc" in k_ for k_ in moved)
     assert any("conv" in k_ for k_ in moved)
+
+
+def test_cfm_targets_mask_iou_mode():
+    """TRAIN.CFM_IOU="mask": labeling keys on segment-mask↔gt-mask IoU.
+
+    Two segments share the SAME box (box IoU with gt = 1.0 for both) but
+    one's mask matches the gt mask (full) and the other's covers only a
+    sliver — mask-IoU labeling must call the first fg and the second bg,
+    which box-IoU labeling cannot distinguish.
+    """
+    from mnc_tpu.train.targets import cfm_targets
+
+    gt_boxes = jnp.array([[10.0, 10.0, 29.0, 29.0]])
+    gt_classes = jnp.array([2], jnp.int32)
+    gt_valid = jnp.ones(1, bool)
+    gt_masks = jnp.ones((1, 9, 9), jnp.float32)
+
+    seg_boxes = jnp.array([
+        [10.0, 10.0, 29.0, 29.0],   # full mask → mask IoU 1.0 → fg
+        [10.0, 10.0, 29.0, 29.0],   # sliver mask → mask IoU ~0.11 → bg
+    ])
+    full = jnp.ones((9, 9), jnp.float32)
+    sliver = jnp.zeros((9, 9), jnp.float32).at[:, :1].set(1.0)
+    seg_masks = jnp.stack([full, sliver])
+    seg_valid = jnp.ones(2, bool)
+
+    tgt = cfm_targets(seg_boxes, seg_masks, seg_valid, gt_boxes, gt_classes,
+                      gt_valid, gt_masks, jax.random.PRNGKey(0),
+                      roi_batch=8, fg_fraction=1.0, iou_mode="mask")
+    labels = np.asarray(tgt.labels)
+    masks = np.asarray(tgt.seg_masks)
+    # rows that kept the sliver mask must be bg; full-mask rows fg class 2
+    sliver_rows = [i for i in range(len(masks))
+                   if np.isclose(masks[i].mean(), sliver.mean(), atol=1e-3)]
+    full_rows = [i for i in range(len(masks))
+                 if np.isclose(masks[i].mean(), 1.0, atol=1e-3)
+                 and labels[i] >= 0]
+    assert sliver_rows and all(labels[i] == 0 for i in sliver_rows)
+    assert full_rows and all(labels[i] == 2 for i in full_rows)
+
+    # box mode cannot distinguish them: both fg
+    tgt_box = cfm_targets(seg_boxes, seg_masks, seg_valid, gt_boxes,
+                          gt_classes, gt_valid, gt_masks,
+                          jax.random.PRNGKey(0), roi_batch=8,
+                          fg_fraction=1.0, iou_mode="box")
+    lb = np.asarray(tgt_box.labels)
+    mb = np.asarray(tgt_box.seg_masks)
+    sliver_rows_b = [i for i in range(len(mb))
+                     if np.isclose(mb[i].mean(), sliver.mean(), atol=1e-3)]
+    assert sliver_rows_b and all(lb[i] == 2 for i in sliver_rows_b)
