@@ -8,6 +8,13 @@ RLE-compressed masks (decode with ``mnc_tpu.native.rle_decode``).
 
     python tools/serve.py --ckpt output/run1 [--conf 0.7] [img1.jpg ...]
     # or stream paths on stdin, one per line
+
+Throughput mode: add ``--set TEST.INT8 True`` — the int8 MXU path
+(ops/quant.py) on the unchanged float weights.  Measured faster at every
+batch (docs/results/int8_r5.jsonl) with per-stage quantization error
+audited small (tools/int8_audit.py) and end-to-end mAP^r deltas whose
+bootstrap CIs include zero (docs/results/ablation_r5.jsonl, 5stage_int8
+row).  bf16 (the default) remains the reference-parity mode.
 """
 
 import _init_paths  # noqa: F401
