@@ -149,7 +149,10 @@ __C.NET.ROI_WARP_IMPL = "einsum"
 __C.NET.S2D_BLOCK1 = False
 # Run VGG block 1 (conv1_1 -> relu -> conv1_2 -> relu -> pool1) as one fused
 # Pallas kernel with all intermediates in VMEM (ops/pallas/block1_kernel.py).
-# Layout-only: identical param tree; matches XLA within 1 bf16 ulp.
+# Layout-only: identical param tree.  PARKED after r5 real-TPU validation:
+# compiled-mode Mosaic numeric divergence + VMEM OOM at tph=4 + slower than
+# XLA at tph=2 (docs/results/block1_r5.jsonl; kernel docstring).  Leave
+# False; re-test with tools/pallas_tpu_check.py after platform updates.
 __C.NET.FUSED_BLOCK1 = False
 # Trunk blocks (VGG) / stages (ResNet) with stopped gradients.  The
 # reference froze conv1-conv2 via lr_mult 0 (ImageNet-pretrained trunk,

@@ -166,7 +166,10 @@ class VGG16Trunk(nn.Module):
 
             w1, b1 = _ConvParams(3, 64, name="conv1_1")()
             w2, b2 = _ConvParams(64, 64, name="conv1_2")()
-            x = fused_block1(x, w1, b1, w2, b2, 4)
+            # tph=2: the f32 dot accumulators scale with tph·W — tph=4 at
+            # W=1024 needs 18.4 MB scoped VMEM vs the 16 MB limit (real-TPU
+            # compile OOM, r5); tph=2 fits with headroom.
+            x = fused_block1(x, w1, b1, w2, b2, 2)
             if self.frozen_blocks > 0:
                 x = jax.lax.stop_gradient(x)
             start = 1

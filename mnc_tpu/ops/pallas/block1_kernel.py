@@ -35,6 +35,26 @@ Design (see DESIGN.md round-4 notes):
 Gradients: block 1 is frozen in the reference recipe (lr_mult 0 →
 ``frozen_blocks≥1`` here) so the backward is rarely live; a custom VJP
 delegates to :func:`block1_reference` (same precedent as roi_warp_pallas).
+
+**PARKED — real-TPU validation failed (round 5, tools/pallas_tpu_check.py,
+docs/results/block1_r5.jsonl).**  Three independent findings on v5e at the
+shipped 640×1024 canvas:
+
+1. tph=4 does not COMPILE: the f32 dot accumulators scale with tph·W and
+   need 18.4 MB scoped VMEM vs the 16 MB limit.
+2. At tph=2 the COMPILED kernel's output diverges from the oracle by up to
+   0.36 relative (interpret mode matches to 1 bf16 ulp — a Mosaic
+   compiled-vs-interpret divergence, the same failure class as the
+   round-2 float-iota bug; not yet bisected).
+3. Even ignoring numerics, tph=2 measures 2.40 ms/img vs XLA's 1.38 at
+   batch 16 — the row band is too small to amortize the grid overhead,
+   and the "~0.5 ms headroom" estimate from the r4 roofline is refuted:
+   XLA's block 1 already runs closer to the wall than the cost model
+   assumed.
+
+NET.FUSED_BLOCK1 stays False.  The interpret-mode tests below remain green
+and pin the INTENDED semantics so a future platform fix can be validated
+by simply re-running tools/pallas_tpu_check.py.
 """
 
 from __future__ import annotations

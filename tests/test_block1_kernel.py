@@ -36,7 +36,7 @@ def test_block1_kernel_matches_reference(rng):
     x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32) * 50)
     p = _params(np.random.RandomState(7))
     ref = np.asarray(block1_reference(x, *p), np.float32)
-    for tph in (4, 8):
+    for tph in (2, 4, 8):
         got = np.asarray(fused_block1(x, *p, tph), np.float32)
         assert got.shape == (2, 16, 16, 64)
         _assert_ulp_close(got, ref)

@@ -176,7 +176,7 @@ def main():
     img1 = jnp.asarray(rs.randn(1, h, wc, 3).astype(np.float32) * 50)
 
     bref = jax.jit(lambda x: block1_reference(x, bw1, bb1, bw2, bb2))
-    bfus = jax.jit(lambda x: fused_block1(x, bw1, bb1, bw2, bb2, 4))
+    bfus = jax.jit(lambda x: fused_block1(x, bw1, bb1, bw2, bb2, 2))
     r1 = np.asarray(jax.device_get(bref(img1)), np.float32)
     r2 = np.asarray(jax.device_get(bfus(img1)), np.float32)
     ulp = 2.0 ** -7  # bf16 mantissa ulp (test_block1_kernel tolerance)
@@ -186,6 +186,13 @@ def main():
           f"(tol 1 bf16 ulp = {ulp:.3e}) -> {'OK' if ok_b1 else 'MISMATCH'}")
     results["block1_max_rel_dev"] = float(dev.max())
     results["block1_exact_ok"] = ok_b1
+    # PARKED (r5): compiled-mode Mosaic output diverges from interpret mode
+    # (which matches the oracle to 1 ulp), tph=4 OOMs scoped VMEM at W=1024,
+    # and tph=2 is 1.7x slower than XLA block 1 — NET.FUSED_BLOCK1 stays
+    # False and block1 status is reported without failing the check.  If a
+    # platform update makes this section print OK and the timing win, the
+    # kernel can be un-parked (ops/pallas/block1_kernel.py docstring).
+    results["block1_parked"] = True
 
     img16 = jnp.asarray(rs.randn(16, h, wc, 3).astype(np.float32) * 50)
 
@@ -203,7 +210,7 @@ def main():
     results["block1_ms_xla_b16"] = round(tb_ref * 1e3, 3)
     results["block1_ms_pallas_b16"] = round(tb_fus * 1e3, 3)
 
-    ok = ok_warp and same and ok_paste and ok_b1
+    ok = ok_warp and same and ok_paste  # block1 is parked, reported above
     results["ok"] = ok
     print(json.dumps(results))
     raise SystemExit(0 if ok else 1)
