@@ -65,11 +65,13 @@ __C.EXP_DIR = "default"
 __C.USE_GPU_NMS = True  # kept for YAML compat; on TPU, NMS is always on-device
 __C.GPU_ID = 0  # YAML compat; device selection is JAX's (ignored on TPU)
 # Mask resolution of the mask regression target/output.  The reference code used
-# 21 while the paper quotes 28 (SURVEY.md §2.1 "MASK_SIZE — verify").  Measured
-# (r3, full-scale synthetic, 15k iters, TPU): 28 beats 21 by +1.6/+1.7 mAP^r
-# @0.5/@0.7 at ~equal step cost (docs/results/e2e_mask28_r3_metrics.jsonl).
-# Default stays 21 for released-code/checkpoint parity (the released prototxt
-# regresses 21x21; imports auto-configure); prefer 28 for from-scratch runs.
+# 21 while the paper quotes 28 (SURVEY.md §2.1 "MASK_SIZE — verify").  The r3
+# short-recipe advantage of 28 (+1.6/+1.7, e2e_mask28_r3_metrics.jsonl) does
+# NOT replicate at the full flagship recipe: paired bootstrap over 256 images
+# (two 24k runs, r5) gives 21−28 = +1.1 [−0.5,+2.6] @0.5 / −0.1 [−1.7,+1.7]
+# @0.7 — a wash (docs/results/mask21_r5.jsonl).  Default stays 21 for
+# released-code/checkpoint parity (the released prototxt regresses 21×21;
+# imports auto-configure).
 __C.MASK_SIZE = 21
 # Binarization threshold applied when pasting soft masks back into the image.
 __C.BINARIZE_THRESH = 0.4
@@ -227,6 +229,12 @@ __C.TEST.RPN_PRE_NMS_TOP_N = 6000   # reference value; STATIC caps what runs
 __C.TEST.RPN_POST_NMS_TOP_N = 300   # reference value; STATIC caps what runs
 __C.TEST.RPN_MIN_SIZE = 16
 __C.TEST.BBOX_REG = True
+# Mask voting (the reference TesterWrapper default).  Stays ON for reference
+# parity, with the caveat measured at statistical power (r5, 256 images,
+# paired bootstrap, docs/results/ablation_r5.jsonl): on SPARSE synthetic
+# scenes voting-off is +0.5 @0.5 [+0.1,+1.0] (CI excludes zero) and ±0 @0.7 —
+# i.e. voting does not pay on well-separated instances; the paper's ~+1 mAP
+# was measured on real VOC crowding, which this sandbox cannot reproduce.
 __C.TEST.USE_MASK_MERGE = True
 __C.TEST.USE_GPU_MASK_MERGE = True  # compat; mask voting is on-device on TPU
 __C.TEST.MASK_MERGE_IOU_THRESH = 0.5
@@ -234,8 +242,9 @@ __C.TEST.MASK_MERGE_NMS_THRESH = 0.3
 # Score-weighted BOX averaging over the same IoU>=MASK_MERGE_IOU_THRESH
 # neighbor set the mask vote uses — the ⚠box-averaging half of the reference
 # lib/nms/mv.pyx (SURVEY §2.1), resolved as a gated option per VERDICT r3
-# item 4.  Default OFF: measured mAP-neutral-to-negative on the flagship
-# ablation (see STATUS r4), matching mask-only voting = current behavior.
+# item 4.  Default OFF, re-confirmed with CIs (r5, 256 images, paired
+# bootstrap, docs/results/ablation_r5.jsonl): −0.5 @0.5 [−1.4,+0.3] /
+# −0.7 @0.7 [−1.6,+0.2] — weakly negative, CI includes zero.
 __C.TEST.VOTE_BOXES = False
 __C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
 # Run portrait images on the transposed canvas (exact reference scale rule)
@@ -278,8 +287,11 @@ __C.TEST.PASTE_DTYPE = "bf16"
 # int8 MXU inference (beyond-reference; ops/quant.py): trunk convs +
 # fc6/fc7/fc_mask run s8xs8->s32 with dynamic activation scales and
 # per-channel weight scales quantized from the unchanged float params.
-# Measured (STATUS r3): see the int8 row in the bench table.  Off =
-# reference-parity bf16.  Inference only; training always runs bf16.
+# mAP-neutral at statistical power (r5, 256 images, paired bootstrap:
+# Δ −0.01 pts @0.5 AND @0.7, CI ±0.7 centered on zero —
+# docs/results/ablation_r5.jsonl) and +8% throughput; the recommended
+# serving fast path (tools/serve.py).  Off = reference-parity bf16.
+# Inference only; training always runs bf16.
 __C.TEST.INT8 = False
 
 # Reference-YAML keys accepted for 1:1 config translation but with no TPU
