@@ -19,14 +19,25 @@ _DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
 class FrozenBN(nn.Module):
-    """Affine-only BatchNorm (frozen statistics folded into scale/bias)."""
+    """Affine-only BatchNorm (frozen statistics folded into scale/bias).
+
+    ``zero_scale`` initializes scale to 0 — used on the LAST BN of each
+    bottleneck ("zero-gamma", Goyal et al. 2017) so every residual block
+    starts as identity.  Without it a from-scratch ResNet-101 has no
+    normalization at all (affine-only BN carries no statistics) and
+    activations grow with depth until training NaNs (observed: COCO-e2e
+    ResNet smoke diverged by iteration 20 at lr 0.002).  Weight imports
+    overwrite the init, so fine-tuning paths are unaffected.
+    """
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    zero_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        scale_init = nn.initializers.zeros if self.zero_scale else nn.initializers.ones
+        scale = self.param("scale", scale_init, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
 
@@ -74,7 +85,7 @@ class Bottleneck(nn.Module):
         y = conv(self.features, 3, s2, "conv2")(y)
         y = nn.relu(FrozenBN(self.features, self.dtype, name="bn2")(y))
         y = conv(self.features * 4, 1, 1, "conv3")(y)
-        y = FrozenBN(self.features * 4, self.dtype, name="bn3")(y)
+        y = FrozenBN(self.features * 4, self.dtype, zero_scale=True, name="bn3")(y)
         if self.project:
             residual = conv(self.features * 4, 1, self.stride, "proj")(x)
             residual = FrozenBN(self.features * 4, self.dtype, name="bn_proj")(residual)

@@ -60,8 +60,14 @@ def test_roi_conv5_head_cascade():
 
     g = jax.grad(loss)(params)
     gp = g["params"]
+    # zero-gamma init (FrozenBN.zero_scale on bn3) makes each block start as
+    # identity, so at init the conv kernels' grads arrive only after the bn3
+    # scale moves off zero — connectivity is proven via the bn3 scale grad
+    # plus the projection-path conv (bn_proj keeps scale=1).
     assert np.abs(np.asarray(
-        gp["classify_head"]["stage5_block0"]["conv1"]["kernel"])).sum() > 0
+        gp["classify_head"]["stage5_block0"]["bn3"]["scale"])).sum() > 0
+    assert np.abs(np.asarray(
+        gp["classify_head"]["stage5_block0"]["proj"]["kernel"])).sum() > 0
     # classification gradients reach the mask head via mask pooling
     assert np.abs(np.asarray(
         gp["mask_head"]["fc_mask"]["kernel"])).sum() > 0
@@ -75,6 +81,9 @@ def test_resnet_frozen_stage_blocks_grads():
     g = jax.grad(lambda p: jnp.sum(trunk.apply(p, x) ** 2))(params)
     # stem conv frozen → zero grads
     assert np.abs(np.asarray(g["params"]["conv1"]["kernel"])).sum() == 0
-    # later stages train
+    # later stages train (bn3 is zero-gamma at init, so kernel grads flow
+    # through the projection path / bn3 scale — see test_roi_conv5_head_cascade)
     assert np.abs(np.asarray(
-        g["params"]["stage4_block0"]["conv1"]["kernel"])).sum() > 0
+        g["params"]["stage4_block0"]["bn3"]["scale"])).sum() > 0
+    assert np.abs(np.asarray(
+        g["params"]["stage4_block0"]["proj"]["kernel"])).sum() > 0
