@@ -85,9 +85,47 @@ def run_one(h: int, w: int, batch: int, pre_nms: int, params_path: str):
                       "steady_s": round(t2 - t1, 3)}), flush=True)
 
 
+def make_random_params(path: str):
+    """Init the sweep arch with random weights on CPU and save to ``path``.
+
+    The sweep proves compile+execute crash-freeness of the program — weight
+    VALUES are irrelevant to the fault class (a gather composition bisected
+    at the 608×816 grid), so a random init lets the sweep run when no trained
+    flagship checkpoint is on disk (output/ is not version-controlled)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mnc_tpu.models.mnc import MNC, MNCArch
+    from mnc_tpu.utils.checkpoint import save_npz
+
+    arch = MNCArch(canvas=(640, 1024), anchor_scales=(8, 16, 32),
+                   num_classes=6, mask_size=28, warp_hw=14, n_stages=5,
+                   fc_dim=4096, mask_fc_dim=256, pre_nms_top_n=6000,
+                   post_nms_top_n=304, rpn_min_size=16.0, trunk_frozen=0)
+    model = MNC(arch=arch)
+    # eval_shape instead of init: a real init executes a full forward
+    # (minutes on a 1-core CPU at this canvas); shapes + small random fills
+    # are all the sweep needs.
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((640, 1024, 3), jnp.float32),
+                            jnp.array([640.0, 1024.0, 1.0]))
+    rs = np.random.RandomState(0)
+    params = jax.tree.map(
+        lambda s: (0.05 * rs.randn(*s.shape)).astype(s.dtype), shapes)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_npz(path, params)
+    print(f"random-init params -> {path}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="output/flagship_r5/e2e_params.npz")
+    ap.add_argument("--init-random", action="store_true",
+                    help="if --params is missing, save a random init there "
+                         "(crash-freeness does not depend on weight values)")
     ap.add_argument("--pre-nms", type=int, default=6000,
                     help="shipped TEST working set")
     ap.add_argument("--batches", type=int, nargs="*", default=[1, 8])
@@ -103,6 +141,17 @@ def main():
         run_one(args.one[0], args.one[1], args.one[2], args.pre_nms,
                 args.params)
         return
+
+    if args.init_random and not os.path.exists(args.params):
+        # generate in a subprocess so the parent never initializes a backend
+        subprocess.run([sys.executable, "-c",
+                        "import sys; sys.path.insert(0, %r); "
+                        "import _init_paths; "
+                        "from canvas_stress_sweep import make_random_params; "
+                        "make_random_params(%r)"
+                        % (os.path.dirname(os.path.abspath(__file__)),
+                           args.params)],
+                       check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
 
     canvases = list(DEFAULT_BUCKETS)
     canvases += [(w, h) for h, w in canvases]  # portrait orientations
