@@ -40,4 +40,21 @@ python tools/train_net.py --imdb coco_synthtrain --iters 200 \
 python tools/test_net.py --imdb coco_synthval --ckpt "$ROOT/run_r101" \
     --coco-ap --set "${SETS[@]}" NET.TRUNK resnet101 \
     2>&1 | tee -a "$LOG" | tail -6
+
+# extract the two eval summary lines into the results file the header cites
+python - "$LOG" "$ITERS" <<'PYEOF'
+import json, re, sys
+log, iters = sys.argv[1], int(sys.argv[2])
+rows = re.findall(r"mAP\^r@0.5 = ([\d.]+)\s+mAP\^r@0.7 = ([\d.]+)\s+"
+                  r"AP\^r@\[.5:.95\] = ([\d.]+)", open(log).read())
+trunks = [("vgg16", iters, 8), ("resnet101", 200, 2)]
+with open("docs/results/coco_e2e_r5.jsonl", "a") as f:
+    for (m5, m7, avg), (trunk, it, ipb) in zip(rows, trunks):
+        f.write(json.dumps({
+            "metric": "coco_e2e", "trunk": trunk, "iters": it,
+            "ims_per_batch": ipb, "map_r_050": float(m5),
+            "map_r_070": float(m7), "ap_r_050_095": float(avg),
+            "log": log}) + "\n")
+print(f"results -> docs/results/coco_e2e_r5.jsonl ({len(rows)} rows)")
+PYEOF
 echo "log: $LOG"

@@ -87,3 +87,27 @@ def test_resnet_frozen_stage_blocks_grads():
         g["params"]["stage4_block0"]["bn3"]["scale"])).sum() > 0
     assert np.abs(np.asarray(
         g["params"]["stage4_block0"]["proj"]["kernel"])).sum() > 0
+
+
+def test_resnet_from_scratch_init_is_stable():
+    """Zero-gamma init (FrozenBN.zero_scale on each bottleneck's bn3) keeps
+    from-scratch activations bounded.  Affine-only FrozenBN carries no
+    statistics, so without zero-gamma a deep trunk's activation magnitude
+    grows with block count and from-scratch training NaNs (observed: COCO
+    e2e ResNet-101 smoke diverged by iteration 20 at lr 0.002 —
+    docs/results/coco_e2e_r5.jsonl).  With it, every block starts as
+    identity: trunk output magnitude at init must stay O(input) even for
+    the deepest trunk."""
+    trunk = ResNetTrunk(depth=101, compute_dtype=jnp.float32, frozen_stages=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 64, 3))
+    params = trunk.init(jax.random.PRNGKey(0), x)
+    # every bottleneck's bn3 scale is zero at init; bn_proj stays ones
+    flat = {"/".join(str(k) for k in p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    bn3 = [v for k, v in flat.items() if "bn3" in k and "scale" in k]
+    # trunk = stages conv2..conv4 of resnet-101: 3 + 4 + 23 = 30 bottlenecks
+    assert len(bn3) == 30 and all(float(np.abs(v).max()) == 0 for v in bn3)
+    out = np.asarray(trunk.apply(params, x))
+    assert np.isfinite(out).all()
+    # bounded: identity-start blocks can't amplify; projections are lecun
+    assert float(np.abs(out).max()) < 50.0
