@@ -86,12 +86,22 @@ def main():
     else:
         params = jax.device_put(load_npz(args.params))
 
-    feat_bf = jax.jit(lambda im: m_bf.apply(params, im, method=MNC.features))
-    feat_i8 = jax.jit(lambda im: m_i8.apply(params, im, method=MNC.features))
-    rpn_bf = jax.jit(lambda f: m_bf.apply(params, f, method=MNC.rpn))
-    rpn_i8 = jax.jit(lambda f: m_i8.apply(params, f, method=MNC.rpn))
-    full_bf = jax.jit(lambda im, ii: m_bf.apply(params, im, ii))
-    full_i8 = jax.jit(lambda im, ii: m_i8.apply(params, im, ii))
+    # params is a jit ARGUMENT everywhere, never a closure: closed-over
+    # params are baked into the program as constants, and at full scale the
+    # fc towers alone (~0.5 GB) push the serialized MLIR past the axon
+    # remote-compile body limit (observed: HTTP 413 on the full program).
+    _feat_bf = jax.jit(lambda p, im: m_bf.apply(p, im, method=MNC.features))
+    _feat_i8 = jax.jit(lambda p, im: m_i8.apply(p, im, method=MNC.features))
+    _rpn_bf = jax.jit(lambda p, f: m_bf.apply(p, f, method=MNC.rpn))
+    _rpn_i8 = jax.jit(lambda p, f: m_i8.apply(p, f, method=MNC.rpn))
+    _full_bf = jax.jit(lambda p, im, ii: m_bf.apply(p, im, ii))
+    _full_i8 = jax.jit(lambda p, im, ii: m_i8.apply(p, im, ii))
+    feat_bf = lambda im: _feat_bf(params, im)  # noqa: E731
+    feat_i8 = lambda im: _feat_i8(params, im)  # noqa: E731
+    rpn_bf = lambda f: _rpn_bf(params, f)  # noqa: E731
+    rpn_i8 = lambda f: _rpn_i8(params, f)  # noqa: E731
+    full_bf = lambda im, ii: _full_bf(params, im, ii)  # noqa: E731
+    full_i8 = lambda im, ii: _full_i8(params, im, ii)  # noqa: E731
 
     def heads(model, feat, rois):
         rf = model.warp(feat, rois)
@@ -99,10 +109,12 @@ def main():
         cl, bb = model.classify_stage(rf, ml)
         return ml, jax.nn.softmax(cl, -1), bb
 
-    heads_bf = jax.jit(lambda f, r: m_bf.apply(
-        params, method=lambda m: heads(m, f, r)))
-    heads_i8 = jax.jit(lambda f, r: m_i8.apply(
-        params, method=lambda m: heads(m, f, r)))
+    _heads_bf = jax.jit(lambda p, f, r: m_bf.apply(
+        p, method=lambda m: heads(m, f, r)))
+    _heads_i8 = jax.jit(lambda p, f, r: m_i8.apply(
+        p, method=lambda m: heads(m, f, r)))
+    heads_bf = lambda f, r: _heads_bf(params, f, r)  # noqa: E731
+    heads_i8 = lambda f, r: _heads_i8(params, f, r)  # noqa: E731
 
     val = SyntheticIMDB(canvas_hw=base.canvas, num_classes=base.num_classes,
                         max_gt=6, gt_mask_size=28,
