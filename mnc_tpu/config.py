@@ -246,6 +246,13 @@ __C.TEST.MASK_MERGE_NMS_THRESH = 0.3
 # bootstrap, docs/results/ablation_r5.jsonl): −0.5 @0.5 [−1.4,+0.3] /
 # −0.7 @0.7 [−1.6,+0.2] — weakly negative, CI includes zero.
 __C.TEST.VOTE_BOXES = False
+# 5-stage only: pool the FIRST-pass (stage-3) detections into the NMS/voting
+# candidate set alongside the refined second-pass ones (each with its own
+# pass scores).  Beyond-reference knob; the best-measured voting recipe on
+# synthetic data (r5, 256 images, paired bootstrap,
+# docs/results/ablation_r5.jsonl): +1.5 @0.5 [+0.5,+2.5] (CI excludes zero)
+# / +0.8 @0.7 [−0.3,+2.0].  Default OFF = reference-shaped candidate set.
+__C.TEST.VOTE_BOTH_PASSES = False
 __C.TEST.CONF_THRESH = 0.7  # demo visualization threshold
 # Run portrait images on the transposed canvas (exact reference scale rule)
 # instead of extra-downscaling them into the landscape canvas.

@@ -81,6 +81,7 @@ class PostCfg:
             use_mask_merge=bool(cfg.TEST.USE_MASK_MERGE),
             mask_merge_iou=cfg.TEST.MASK_MERGE_IOU_THRESH,
             vote_boxes=bool(cfg.TEST.VOTE_BOXES),
+            vote_both_passes=bool(cfg.TEST.VOTE_BOTH_PASSES),
             vote_impl=str(cfg.TEST.VOTE_IMPL),
             binarize_thresh=cfg.BINARIZE_THRESH,
             paste_impl=str(cfg.TEST.PASTE_IMPL),
